@@ -1,0 +1,234 @@
+"""Typed, validated configuration.
+
+Replaces the reference's flat YAML + hard-coded absolute paths
+(reference: src/vis_nav/vis_nav/config.yaml:1-63, loaded at main.py:134-136).
+Every knob of the reference config is represented; unknown keys raise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _update_dataclass(obj, data: Dict[str, Any], path: str = ""):
+    names = {f.name: f for f in dataclasses.fields(obj)}
+    for key, val in data.items():
+        if key not in names:
+            raise KeyError(f"unknown config key {path + key!r}")
+        cur = getattr(obj, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            _update_dataclass(cur, val, path=path + key + ".")
+        else:
+            setattr(obj, key, val)
+    return obj
+
+
+@dataclass
+class ModelConfig:
+    """GoT / ViT / CNN architecture knobs.
+
+    Defaults mirror the reference's active GoT-SAC configuration
+    (config.yaml:58-63 block=4 head=4; LATENT_FEATURES_SIZE 64 at :5;
+    GoalFormer.py:124 dim_head=64 default, got_sac_network.py:176-185 mlp_dim=2048).
+    """
+
+    name: str = "gtrl"
+    actor_type: str = "GaussianTransformer"  # GaussianTransformer | GaussianConvNet | DeterministicTransformer | Deterministic
+    critic_type: str = "Transformer"  # Transformer | CNN
+    block: int = 4          # transformer depth
+    head: int = 4           # attention heads
+    dim_head: int = 64
+    mlp_dim: int = 2048
+    latent_size: int = 64   # LATENT_FEATURES_SIZE (ViT embed dim)
+    image_size: Tuple[int, int] = (128, 160)
+    patch_size: Tuple[int, int] = (16, 20)
+    emb_dropout: float = 0.1
+    dropout: float = 0.0
+    backbone: str = "got"   # got | simple_vit (vit_sac_network alternative zoo)
+    compute_dtype: str = "float32"  # float32 | bfloat16 (bf16 for the TPU fast path)
+
+    def validate(self):
+        ih, iw = self.image_size
+        ph, pw = self.patch_size
+        assert ih % ph == 0 and iw % pw == 0, "image must divide into patches"
+        assert self.actor_type in {
+            "GaussianTransformer", "GaussianConvNet",
+            "DeterministicTransformer", "Deterministic",
+        }
+        assert self.critic_type in {"Transformer", "CNN"}
+        assert self.backbone in {"got", "simple_vit"}
+
+
+@dataclass
+class SACConfig:
+    """SAC hyperparameters (reference: DRL.py:34-39, config.yaml:9-48)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2      # polar goal (distance, heading)
+    gamma: float = 0.999
+    tau: float = 0.0005
+    lr_actor: float = 1e-3
+    lr_critic: float = 1e-3
+    lr_alpha: float = 1e-4
+    alpha: float = 1.0
+    auto_tune_alpha: bool = True
+    policy_freq: int = 1     # soft-update cadence (ACTOR_FREQ)
+    batch_size: int = 32
+    buffer_size: int = 30000
+    guidence_weight: float = 1.0   # expert BC loss weight (DRL.py:51)
+    engage_weight: float = 1.0     # intervention loss weight (DRL.py:52)
+    # Reference quirk switches — `replicate` mirrors DRL.py exactly.
+    # DRL.py:394 omits the (1-done) mask in the TD target; set True to fix.
+    done_mask_in_target: bool = False
+    # DRL.py constructs PrioritizedReplayBuffer but samples uniformly and never
+    # updates priorities (:365-368 commented out). True enables real PER.
+    prioritized_replay: bool = False
+
+    def validate(self):
+        assert self.action_dim > 0 and self.pstate_dim > 0
+        assert 0.0 < self.gamma <= 1.0
+        assert 0.0 < self.tau <= 1.0
+
+
+@dataclass
+class EnvConfig:
+    """Environment / reward knobs (reference: env_lab.py:170-301, config.yaml:43-48)."""
+
+    vis_sensor: str = "depth_image"   # image | fish_image | depth_image
+    max_steps: int = 800
+    max_episodes: int = 800
+    linear_cmd_scale: float = 0.25    # L_SCALE
+    angular_cmd_scale: float = 1.0    # A_SCALE
+    max_action: float = 1.0
+    # reward function constants (env_lab.py:275-301)
+    r_target: float = 200.0
+    r_collision: float = -100.0
+    heuristic_scale: float = 20.0
+    goal_radius: float = 0.5
+    collision_range: float = 0.2
+    dist_norm: float = 15.0           # distance clip/normalizer (env_lab.py:296)
+    reward_clip: Tuple[float, float] = (-200.0, 500.0)
+    frame_stack: int = 4
+
+    def validate(self):
+        assert self.vis_sensor in {"image", "fish_image", "depth_image"}
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh axes. data = batch sharding; model = TP over MLP/QKV;
+    seq reserved for long-token-stream sharding (SURVEY.md §2.3)."""
+
+    data: int = -1   # -1 → all remaining devices
+    model: int = 1
+    seq: int = 1
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 3407
+    desc: str = "98"
+    plot_interval: int = 10
+    eval_threshold: int = 80
+    eval_epoch: int = 5
+    save_interval: int = 50
+    save_threshold: float = 1.0
+    reward_threshold: float = 90.0
+    save: bool = True
+    pre_train: bool = True
+    if_test: bool = False
+    pre_buffer: bool = True
+    human_intervention: bool = False
+    policy_attention_fix: bool = False
+    critic_attention_fix: bool = False
+    checkpoint_dir: str = "checkpoints"
+    data_dir: str = "data"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    sac: SACConfig = field(default_factory=SACConfig)
+    env: EnvConfig = field(default_factory=EnvConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def validate(self) -> "Config":
+        self.model.validate()
+        self.sac.validate()
+        self.env.validate()
+        return self
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "Config":
+        return _update_dataclass(cls(), data).validate()
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        return cls.from_dict(data)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def load_reference_yaml(path: str) -> Config:
+    """Load a reference-format config.yaml (flat keys, config.yaml:1-63) and
+    translate it into a structured Config."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+
+    cfg = Config()
+    algo = raw.get("GoT-SAC", {})
+    m = cfg.model
+    m.name = algo.get("name", m.name)
+    m.actor_type = algo.get("actor_type", m.actor_type)
+    m.critic_type = algo.get("critic_type", m.critic_type)
+    m.block = algo.get("block", m.block)
+    m.head = algo.get("head", m.head)
+    m.latent_size = raw.get("LATENT_FEATURES_SIZE", m.latent_size)
+
+    s = cfg.sac
+    s.batch_size = raw.get("BATCH_SIZE", s.batch_size)
+    s.lr_actor = raw.get("LR_A", s.lr_actor)
+    s.lr_critic = raw.get("LR_C", s.lr_critic)
+    s.lr_alpha = raw.get("LR_ALPHA", s.lr_alpha)
+    s.gamma = raw.get("GAMMA", s.gamma)
+    s.tau = raw.get("TAU", s.tau)
+    s.policy_freq = raw.get("ACTOR_FREQ", s.policy_freq)
+    s.buffer_size = raw.get("BUFFER_SIZE", s.buffer_size)
+    s.alpha = raw.get("ALPHA", s.alpha)
+    s.auto_tune_alpha = raw.get("AUTO_TUNE", s.auto_tune_alpha)
+
+    e = cfg.env
+    e.vis_sensor = raw.get("VIS_SENSOR", e.vis_sensor)
+    e.max_steps = raw.get("MAX_STEPS", e.max_steps)
+    e.max_episodes = raw.get("MAX_EPISODES", e.max_episodes)
+    e.linear_cmd_scale = raw.get("L_SCALE", e.linear_cmd_scale)
+    e.angular_cmd_scale = raw.get("A_SCALE", e.angular_cmd_scale)
+    e.frame_stack = raw.get("FRAME_STACK", e.frame_stack)
+
+    t = cfg.train
+    t.seed = raw.get("SEED", t.seed)
+    t.desc = str(raw.get("DESC", t.desc))
+    t.plot_interval = raw.get("PLOT_INTERVAL", t.plot_interval)
+    t.eval_threshold = raw.get("EVAL_THRESHOLD", t.eval_threshold)
+    t.eval_epoch = raw.get("EVAL_EPOCH", t.eval_epoch)
+    t.save_interval = raw.get("SAVE_INTERVAL", t.save_interval)
+    t.save_threshold = raw.get("SAVE_THRESHOLD", t.save_threshold)
+    t.reward_threshold = raw.get("REWARD_THRESHOLD", t.reward_threshold)
+    t.save = raw.get("SAVE", t.save)
+    t.pre_train = raw.get("PRE_TRAIN", t.pre_train)
+    t.if_test = raw.get("IF_TEST", t.if_test)
+    t.pre_buffer = raw.get("PRE_BUFFER", t.pre_buffer)
+    t.human_intervention = raw.get("HUMAN_INTERVENTION", t.human_intervention)
+    t.policy_attention_fix = raw.get("P_ATTENTION_FIX", t.policy_attention_fix)
+    t.critic_attention_fix = raw.get("C_ATTENTION_FIX", t.critic_attention_fix)
+    return cfg.validate()

@@ -1,0 +1,99 @@
+"""GoT — the goal-token ViT core model ("GoalFormer").
+
+Reference semantics (GoalFormer.py:123-171):
+  * patch-embeds a (B, 128, 160) depth image into 64 patches of 16x20 via the
+    channel-less rearrange 'b (h p1) (w p2) -> b (h w) (p1 p2)' + Linear(320, dim)
+    (GoalFormer.py:137-139; the `channels` ctor arg is ignored by this embed)
+  * prepends the goal embedding as the CLS token (:160-161)
+  * adds a learned positional embedding over n+1 tokens (:142,162), dropout 0.1
+  * `depth` pre-norm transformer blocks (:146,165)
+  * pools the goal token x[:, 0] (:167) and applies RMSNorm (:129,170)
+
+The imitation-learning fork (Imitation_learning.py:104-176) differs in two
+ways, both supported here: channels-aware patch embed for frame-stacked
+(B, C, H, W) input, and a final LayerNorm instead of RMSNorm.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgvit_tpu.models import initializers as init
+from dgvit_tpu.models.layers import LayerNorm, RMSNorm, TorchLinear, Transformer
+
+
+def patchify_2d(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """'b (h p1) (w p2) -> b (h w) (p1 p2)' for (B, H, W) images."""
+    b, hh, ww = img.shape
+    h, w = hh // ph, ww // pw
+    x = img.reshape(b, h, ph, w, pw)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, h * w, ph * pw)
+
+
+def patchify_channels(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """'b c (h p1) (w p2) -> b (h w) (p1 p2 c)' for (B, C, H, W) images
+    (Imitation_learning.py:118-121)."""
+    b, c, hh, ww = img.shape
+    h, w = hh // ph, ww // pw
+    x = img.reshape(b, c, h, ph, w, pw)
+    x = x.transpose(0, 2, 4, 3, 5, 1)  # b h w p1 p2 c
+    return x.reshape(b, h * w, ph * pw * c)
+
+
+class GoT(nn.Module):
+    image_size: Tuple[int, int] = (128, 160)
+    patch_size: Tuple[int, int] = (16, 20)
+    dim: int = 64
+    depth: int = 4
+    heads: int = 4
+    dim_head: int = 64
+    mlp_dim: int = 2048
+    channels: int = 1          # used only when patch_mode == 'channels'
+    pool: str = "cls"          # cls | mean
+    dropout: float = 0.0
+    emb_dropout: float = 0.1
+    patch_mode: str = "2d"     # 2d (GoalFormer) | channels (IL fork)
+    final_norm: str = "rms"    # rms (GoalFormer) | layer (IL fork)
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, img, goal, *, deterministic: bool = True):
+        """img: (B, H, W) [2d mode] or (B, C, H, W) [channels mode];
+        goal: (B, dim) pre-embedded goal token. Returns (B, dim) latent."""
+        ph, pw = self.patch_size
+        ih, iw = self.image_size
+        num_patches = (ih // ph) * (iw // pw)
+
+        if self.patch_mode == "2d":
+            x = patchify_2d(img, ph, pw)
+        elif self.patch_mode == "channels":
+            x = patchify_channels(img, ph, pw)
+        else:
+            raise ValueError(self.patch_mode)
+        x = TorchLinear(self.dim, dtype=self.dtype, name="patch_embed")(x)
+        b, n, _ = x.shape
+
+        cls = goal[:, None, :].astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.param("pos_embedding", init.normal, (1, num_patches + 1, self.dim))
+        x = x + pos[:, : n + 1].astype(x.dtype)
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+
+        x = Transformer(
+            self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
+            self.dropout, attn_impl=self.attn_impl, capture=self.capture,
+            dtype=self.dtype, name="transformer",
+        )(x, deterministic=deterministic)
+
+        x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
+
+        if self.final_norm == "rms":
+            return RMSNorm(self.dim, name="norm_out")(x)
+        return LayerNorm(self.dim, name="norm_out")(x)

@@ -1,0 +1,184 @@
+"""Transformer building blocks with reference-exact numerics.
+
+Mirrors GoalFormer.py semantics (PreNorm+Attention / PreNorm+FeedForward
+residual blocks, RMSNorm output head) in idiomatic flax. Attention dispatches
+to the fused kernel in ops/attention.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgvit_tpu.models import initializers as init
+from dgvit_tpu.ops.attention import attention_probs, dot_product_attention
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with the reference's init (Xavier-uniform kernel,
+    torch-default uniform bias; got_sac_network.py:30-33)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", init.xavier_uniform, (fan_in, self.features))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", init.torch_linear_bias(fan_in), (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class RMSNorm(nn.Module):
+    """torch F.normalize(x, dim=-1) * sqrt(dim) * g  (GoalFormer.py:107-122).
+    F.normalize clamps the L2 norm at eps=1e-12 (not added in quadrature)."""
+
+    dim: int
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (self.dim,))
+        dt = x.dtype
+        x32 = x.astype(jnp.float32)
+        norm = jnp.maximum(jnp.linalg.norm(x32, axis=-1, keepdims=True), self.eps)
+        return ((x32 / norm) * (self.dim ** 0.5) * g).astype(dt)
+
+
+class LayerNorm(nn.Module):
+    """torch nn.LayerNorm defaults: eps=1e-5, elementwise affine."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        dt = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(dt)
+
+
+class FeedForward(nn.Module):
+    """Linear -> GELU(exact) -> Dropout -> Linear -> Dropout
+    (GoalFormer.py:39-50; torch nn.GELU default is the exact erf form)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = TorchLinear(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = TorchLinear(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (GoalFormer.py:52-82).
+
+    qkv projection has no bias; the output projection has a bias unless
+    (heads == 1 and dim_head == dim), matching `project_out`.
+    `capture` sows the softmax attention map under 'intermediates'/'attn' —
+    the functional replacement for the reference's bytecode-rewriting
+    visualizer (visualizer.py:3-42, hooked at simple_vit.py:61).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, n, _ = x.shape
+        inner = self.dim_head * self.heads
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+        scale = self.dim_head ** -0.5
+
+        qkv = TorchLinear(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        if self.capture:
+            probs = attention_probs(q, k, scale)
+            self.sow("intermediates", "attn", probs)
+            probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+        else:
+            # attention-prob dropout is 0 in every reference config
+            # (GoalFormer.py:124 dropout=0.); the fused kernel skips it
+            out = dot_product_attention(q, k, v, scale, impl=self.attn_impl)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        if project_out:
+            out = TorchLinear(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    """PreNorm(attn) + x; PreNorm(ff) + x (GoalFormer.py:90-105)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = LayerNorm(self.dim, name="attn_norm")(x)
+        h = Attention(
+            self.dim, self.heads, self.dim_head, self.dropout,
+            attn_impl=self.attn_impl, capture=self.capture, dtype=self.dtype,
+            name="attn",
+        )(h, deterministic=deterministic)
+        x = x + h
+        h = LayerNorm(self.dim, name="ff_norm")(x)
+        h = FeedForward(self.dim, self.mlp_dim, self.dropout, dtype=self.dtype,
+                        name="ff")(h, deterministic=deterministic)
+        return x + h
+
+
+class Transformer(nn.Module):
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i in range(self.depth):
+            x = TransformerBlock(
+                self.dim, self.heads, self.dim_head, self.mlp_dim, self.dropout,
+                attn_impl=self.attn_impl, capture=self.capture, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+        return x

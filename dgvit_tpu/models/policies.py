@@ -1,0 +1,332 @@
+"""Actor / critic zoo — every policy and critic variant of the reference.
+
+GoT-based zoo mirrors got_sac_network.py; the SimpleViT-based alternative zoo
+mirrors vit_sac_network.py (available-but-inactive in the reference, imported
+only via commented lines DRL.py:30-32). All modules are functional flax:
+`apply(params, istate, pstate, ...)`; sampling lives in
+models/distributions.py so the policy forward stays deterministic.
+
+Layout conventions (TPU-idiomatic, NOT torch NCHW):
+  * GoT / ViT image input: (B, H, W) single-frame or (B, C, H, W) frame-stacked
+  * CNN trunk input:       (B, H, W) -> channel appended internally, or
+                           (B, H, W, C) NHWC for the 4-channel variants
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgvit_tpu.models.cnn import ConvTrunk
+from dgvit_tpu.models.distributions import clamp_log_std
+from dgvit_tpu.models.got import GoT
+from dgvit_tpu.models.layers import TorchLinear
+from dgvit_tpu.models.simple_vit import SimpleViT
+
+
+# --------------------------------------------------------------------------
+# GoT zoo (got_sac_network.py)
+# --------------------------------------------------------------------------
+
+class GoTPolicy(nn.Module):
+    """Tanh-Gaussian actor on the GoT trunk (got_sac_network.py:172-256).
+
+    forward: goal -> fc_embed (NO relu, :226) as the goal token; GoT latent ->
+    relu(fc1) -> relu(fc2) -> mean / clamped log_std (:230-236).
+    """
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    block: int = 4
+    head: int = 4
+    l_f_size: int = 64
+    dim_head: int = 64
+    mlp_dim: int = 2048
+    image_size: Tuple[int, int] = (128, 160)
+    patch_size: Tuple[int, int] = (16, 20)
+    patch_mode: str = "2d"       # '2d' live loop; 'channels' for IL frame stacks
+    final_norm: str = "rms"      # 'layer' for the Imitation_learning.py fork
+    emb_dropout: float = 0.1
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        goal = TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate)
+        latent = GoT(
+            image_size=self.image_size, patch_size=self.patch_size,
+            dim=self.l_f_size, depth=self.block, heads=self.head,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim,
+            emb_dropout=self.emb_dropout, patch_mode=self.patch_mode,
+            final_norm=self.final_norm, attn_impl=self.attn_impl,
+            capture=self.capture, dtype=self.dtype, name="trans",
+        )(istate, goal, deterministic=deterministic)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(latent))
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc2")(x))
+        mean = TorchLinear(self.action_dim, dtype=self.dtype, name="mean_linear")(x)
+        log_std = TorchLinear(self.action_dim, dtype=self.dtype, name="log_std_linear")(x)
+        return mean, clamp_log_std(log_std)
+
+
+class GoTQNetwork(nn.Module):
+    """Twin-Q critic on a single shared GoT trunk (got_sac_network.py:75-123).
+    goal embed uses relu (:111); action concatenated after the latent (:114)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    block: int = 4
+    head: int = 4
+    l_f_size: int = 64
+    dim_head: int = 64
+    mlp_dim: int = 2048
+    image_size: Tuple[int, int] = (128, 160)
+    patch_size: Tuple[int, int] = (16, 20)
+    patch_mode: str = "2d"
+    emb_dropout: float = 0.1
+    attn_impl: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True):
+        goal = nn.relu(TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate))
+        latent = GoT(
+            image_size=self.image_size, patch_size=self.patch_size,
+            dim=self.l_f_size, depth=self.block, heads=self.head,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim,
+            emb_dropout=self.emb_dropout, patch_mode=self.patch_mode,
+            attn_impl=self.attn_impl, dtype=self.dtype, name="trans",
+        )(istate, goal, deterministic=deterministic)
+        x = jnp.concatenate([latent, action.astype(latent.dtype)], axis=1)
+        q1 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        q1 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(q1))
+        q1 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc3")(q1)
+        q2 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc11")(x))
+        q2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc21")(q2))
+        q2 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc31")(q2)
+        return q1, q2
+
+
+class DeterministicGoTPolicy(nn.Module):
+    """Deterministic GoT actor (got_sac_network.py:389-449): fc_embed (no relu),
+    relu(fc1 l_f->128), relu(fc2 128->32), tanh(mean_linear)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    block: int = 4
+    head: int = 4
+    l_f_size: int = 64
+    dim_head: int = 64
+    mlp_dim: int = 2048
+    image_size: Tuple[int, int] = (128, 160)
+    patch_size: Tuple[int, int] = (16, 20)
+    emb_dropout: float = 0.1
+    attn_impl: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        goal = TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate)
+        latent = GoT(
+            image_size=self.image_size, patch_size=self.patch_size,
+            dim=self.l_f_size, depth=self.block, heads=self.head,
+            dim_head=self.dim_head, mlp_dim=self.mlp_dim,
+            emb_dropout=self.emb_dropout, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="trans",
+        )(istate, goal, deterministic=deterministic)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(latent))
+        x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
+        return jnp.tanh(TorchLinear(self.action_dim, dtype=self.dtype, name="mean_linear")(x))
+
+
+# --------------------------------------------------------------------------
+# CNN zoo (got_sac_network.py GaussianPolicy / QNetwork / DeterministicPolicy)
+# --------------------------------------------------------------------------
+
+class GaussianPolicy(nn.Module):
+    """CNN tanh-Gaussian actor (got_sac_network.py:258-327). 1-channel input;
+    fc_embed has NO relu (:299)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
+        x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
+        x = jnp.concatenate([x1, x2], axis=1)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
+        mean = TorchLinear(self.action_dim, dtype=self.dtype, name="mean_linear")(x)
+        log_std = TorchLinear(self.action_dim, dtype=self.dtype, name="log_std_linear")(x)
+        return mean, clamp_log_std(log_std)
+
+
+class QNetwork(nn.Module):
+    """Twin-Q CNN critic (got_sac_network.py:125-170). 1-channel input
+    (unsqueeze at :150); goal embed relu'd (:158)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True):
+        x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
+        x2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate))
+        x = jnp.concatenate([x1, x2, action.astype(x1.dtype)], axis=1)
+        q1 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        q1 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(q1))
+        q1 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc3")(q1)
+        q2 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc11")(x))
+        q2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc21")(q2))
+        q2 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc31")(q2)
+        return q1, q2
+
+
+class DeterministicPolicy(nn.Module):
+    """Deterministic CNN actor (got_sac_network.py:330-387); expects a
+    4-channel frame stack (B, H, W, 4)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
+        x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
+        x = jnp.concatenate([x1, x2], axis=1)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
+        return jnp.tanh(TorchLinear(self.action_dim, dtype=self.dtype, name="mean")(x))
+
+
+class ValueNetwork(nn.Module):
+    """State-value net (got_sac_network.py:36-72). Unused by the reference's
+    main path and internally inconsistent there (fc1 sized 256+32+nb_actions
+    but fed 256+32, :45,66-68); implemented here with the working layout."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
+        x2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate))
+        x = jnp.concatenate([x1, x2], axis=1)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
+        return TorchLinear(self.action_dim, dtype=self.dtype, name="fc3")(x)
+
+
+# --------------------------------------------------------------------------
+# SimpleViT zoo (vit_sac_network.py) — goal concatenated after the trunk
+# --------------------------------------------------------------------------
+
+class ViTGaussianPolicy(nn.Module):
+    """vit_sac_network.py GaussianTransformerPolicy (:174-240): SimpleViT
+    (dim 256, depth 2, heads 8, mlp 2048), goal fc_embed->32 (no relu),
+    concat, relu(fc1 288->128), relu(fc2 128->32), mean/log_std."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dim: int = 256
+    depth: int = 2
+    heads: int = 8
+    mlp_dim: int = 2048
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
+                       mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
+                       capture=self.capture, dtype=self.dtype, name="trans")(istate)
+        x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
+        x = jnp.concatenate([x1, x2], axis=1)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
+        mean = TorchLinear(self.action_dim, dtype=self.dtype, name="mean_linear")(x)
+        log_std = TorchLinear(self.action_dim, dtype=self.dtype, name="log_std_linear")(x)
+        return mean, clamp_log_std(log_std)
+
+
+class ViTQNetwork(nn.Module):
+    """vit_sac_network.py TransformerQNetwork (:74-127)."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dim: int = 256
+    depth: int = 2
+    heads: int = 8
+    mlp_dim: int = 2048
+    attn_impl: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True):
+        x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
+                       mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
+                       dtype=self.dtype, name="trans")(istate)
+        x2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate))
+        x = jnp.concatenate([x1, x2, action.astype(x1.dtype)], axis=1)
+        q1 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        q1 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(q1))
+        q1 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc3")(q1)
+        q2 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc11")(x))
+        q2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc21")(q2))
+        q2 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc31")(q2)
+        return q1, q2
+
+
+# --------------------------------------------------------------------------
+# Factories
+# --------------------------------------------------------------------------
+
+def build_actor(cfg, dtype=None) -> nn.Module:
+    """cfg: config.ModelConfig + sac dims. Maps the reference's actor_type
+    strings (config.yaml:51-63, DRL.py:126-169) to modules."""
+    from dgvit_tpu.config import Config
+
+    if isinstance(cfg, Config):
+        m, s = cfg.model, cfg.sac
+    else:
+        m, s = cfg.model, cfg.sac  # duck-typed
+    common = dict(action_dim=s.action_dim, pstate_dim=s.pstate_dim, dtype=dtype)
+    if m.actor_type == "GaussianTransformer":
+        if m.backbone == "simple_vit":
+            return ViTGaussianPolicy(**common)
+        return GoTPolicy(block=m.block, head=m.head, l_f_size=m.latent_size,
+                         dim_head=m.dim_head, mlp_dim=m.mlp_dim,
+                         image_size=tuple(m.image_size), patch_size=tuple(m.patch_size),
+                         emb_dropout=m.emb_dropout, **common)
+    if m.actor_type == "GaussianConvNet":
+        return GaussianPolicy(**common)
+    if m.actor_type == "DeterministicTransformer":
+        return DeterministicGoTPolicy(block=m.block, head=m.head,
+                                      l_f_size=m.latent_size, dim_head=m.dim_head,
+                                      mlp_dim=m.mlp_dim, **common)
+    if m.actor_type == "Deterministic":
+        return DeterministicPolicy(**common)
+    raise ValueError(f"unknown actor_type {m.actor_type!r}")
+
+
+def build_critic(cfg, dtype=None) -> nn.Module:
+    m, s = cfg.model, cfg.sac
+    common = dict(action_dim=s.action_dim, pstate_dim=s.pstate_dim, dtype=dtype)
+    if m.critic_type == "Transformer":
+        if m.backbone == "simple_vit":
+            return ViTQNetwork(**common)
+        return GoTQNetwork(block=m.block, head=m.head, l_f_size=m.latent_size,
+                           dim_head=m.dim_head, mlp_dim=m.mlp_dim,
+                           image_size=tuple(m.image_size), patch_size=tuple(m.patch_size),
+                           emb_dropout=m.emb_dropout, **common)
+    if m.critic_type == "CNN":
+        return QNetwork(**common)
+    raise ValueError(f"unknown critic_type {m.critic_type!r}")
