@@ -1,0 +1,366 @@
+"""SAC agent — the reference's learn loop as ONE jitted, donated train step.
+
+The reference performs ~8 separate device dispatches per environment step
+(DRL.py:373-437: next-action sample, target critic, critic fwd/bwd + Adam,
+policy fwd/bwd + Adam, alpha fwd/bwd + Adam, Polyak copy). Here the whole
+update is a single XLA program over a functional `SACTrainState`, so one
+dispatch per step, fully fusable and shardable over the `data` mesh axis.
+
+Replicated reference semantics (each a deliberate decision, SURVEY.md §7):
+  * TD target r + gamma*(minQ' - alpha*logpi') with NO done mask
+    (DRL.py:390-394). `done_mask_in_target=True` opts into the fix.
+  * Q nets output `action_dim` values; the (B,1) reward broadcasts against
+    (B,2) minQ (DRL.py:394,396-399) — preserved bit-for-bit.
+  * policy_loss = mean(alpha*logpi - minQ_pi) with (B,1)-(B,2) broadcast
+    (DRL.py:405-410).
+  * alpha used this step is the PREVIOUS step's exp(log_alpha); log_alpha
+    updates after the actor loss (DRL.py:417-424).
+  * actor update sees the ALREADY-UPDATED critic (critic_optim.step() runs
+    before the policy forward, DRL.py:401-407).
+  * soft target update when itera % policy_freq == 0, tau from config
+    (DRL.py:431-432; utils.py:31-33).
+  * learn_guidence (DRL.py:187-301): critic/actor batch is agent batch ++
+    expert batch (dynamic expert count -> fixed-shape mask here), plus
+    guidence_weight * MSE(mean_action(expert obs), expert act) and
+    engage_weight * MSE on engage==1 agent rows.
+  * dropout: the reference never calls .eval(), so emb-dropout 0.1 is live
+    in every learn forward pass; train_step matches. choose_action defaults
+    to no-dropout (sane inference); `dropout_in_inference=True` replicates
+    the reference exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from dgvit_tpu.config import Config
+from dgvit_tpu.models import distributions
+from dgvit_tpu.models.policies import build_actor, build_critic
+
+
+@struct.dataclass
+class SACTrainState:
+    actor_params: Any
+    critic_params: Any
+    critic_target_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    log_alpha: jax.Array          # scalar (auto-tuned entropy temperature)
+    alpha_opt: Any
+    itera: jax.Array              # int32 update counter (DRL.py:50)
+    rng: jax.Array                # base key; per-step keys are folded in
+
+
+class SACAgent:
+    """Builds modules/optimizers and exposes jitted functional steps."""
+
+    def __init__(self, cfg: Config, dtype=None):
+        self.cfg = cfg
+        self.actor = build_actor(cfg, dtype=dtype)
+        self.critic = build_critic(cfg, dtype=dtype)
+        s = cfg.sac
+        self.gamma = float(s.gamma)
+        self.tau = float(s.tau)
+        self.policy_freq = int(s.policy_freq)
+        self.target_entropy = -float(s.action_dim)
+        self.auto_tune = bool(s.auto_tune_alpha)
+        self.fixed_alpha = float(s.alpha)
+        self.done_mask = bool(s.done_mask_in_target)
+        self.guidence_weight = float(s.guidence_weight)
+        self.engage_weight = float(s.engage_weight)
+        self.deterministic_actor = cfg.model.actor_type.startswith("Deterministic")
+        if self.deterministic_actor:
+            # DRL.py:152-168: deterministic policies force alpha=0, no tuning
+            self.auto_tune = False
+            self.fixed_alpha = 0.0
+
+        self.actor_tx = optax.adam(s.lr_actor, eps=1e-8)
+        self.critic_tx = optax.adam(s.lr_critic, eps=1e-8)
+        self.alpha_tx = optax.adam(s.lr_alpha, eps=1e-8)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._guided_step = jax.jit(self._guided_step_impl, donate_argnums=(0,))
+        self._act = jax.jit(self._act_impl, static_argnames=("evaluate", "dropout"))
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int) -> SACTrainState:
+        key = jax.random.PRNGKey(int(seed))
+        k_actor, k_critic, k_rng = jax.random.split(key, 3)
+        ih, iw = self.cfg.model.image_size
+        obs = jnp.zeros((1, ih, iw), jnp.float32)
+        if self.cfg.model.actor_type == "Deterministic":
+            obs_a = jnp.zeros((1, ih, iw, 4), jnp.float32)  # 4-chan CNN actor
+        else:
+            obs_a = obs
+        pobs = jnp.zeros((1, self.cfg.sac.pstate_dim), jnp.float32)
+        act = jnp.zeros((1, self.cfg.sac.action_dim), jnp.float32)
+
+        actor_params = self.actor.init(k_actor, obs_a, pobs)["params"]
+        critic_params = self.critic.init(k_critic, obs, pobs, act)["params"]
+        # hard_update(critic_target, critic) (DRL.py:123)
+        target_params = jax.tree_util.tree_map(jnp.copy, critic_params)
+        return SACTrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            critic_target_params=target_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            log_alpha=jnp.zeros((), jnp.float32),  # DRL.py:129 zeros init
+            alpha_opt=self.alpha_tx.init(jnp.zeros((), jnp.float32)),
+            itera=jnp.zeros((), jnp.int32),
+            rng=k_rng,
+        )
+
+    # ------------------------------------------------------------------
+    # pieces
+    # ------------------------------------------------------------------
+    def _alpha_of(self, state: SACTrainState) -> jax.Array:
+        if self.auto_tune:
+            return jnp.exp(state.log_alpha)
+        return jnp.asarray(self.fixed_alpha, jnp.float32)
+
+    def _sample_actor(self, params, obs, pobs, key, dropout_key=None):
+        """(action, log_prob, mean_action) with optional live dropout."""
+        kwargs: Dict[str, Any] = {}
+        if dropout_key is not None:
+            kwargs = dict(deterministic=False, rngs={"dropout": dropout_key})
+        else:
+            kwargs = dict(deterministic=True)
+        if self.deterministic_actor:
+            mean = self.actor.apply({"params": params}, obs, pobs, **kwargs)
+            return distributions.deterministic_sample(key, mean)
+        mean, log_std = self.actor.apply({"params": params}, obs, pobs, **kwargs)
+        return distributions.sample(key, mean, log_std)
+
+    def _apply_critic(self, params, obs, pobs, act, dropout_key=None):
+        if dropout_key is not None:
+            return self.critic.apply({"params": params}, obs, pobs, act,
+                                     deterministic=False,
+                                     rngs={"dropout": dropout_key})
+        return self.critic.apply({"params": params}, obs, pobs, act,
+                                 deterministic=True)
+
+    # ------------------------------------------------------------------
+    # acting
+    # ------------------------------------------------------------------
+    def _act_impl(self, actor_params, rng, obs, pobs, evaluate: bool,
+                  dropout: bool):
+        k_noise, k_drop = jax.random.split(rng)
+        s = self._sample_actor(actor_params, obs, pobs, k_noise,
+                               dropout_key=k_drop if dropout else None)
+        return s.mean if evaluate else s.action
+
+    def choose_action(self, state: SACTrainState, obs, pobs, rng,
+                      evaluate: bool = False,
+                      dropout: Optional[bool] = None) -> jax.Array:
+        """Single- or batched-state action (DRL.py:170-185). Unbatched inputs
+        get a leading batch dim added and squeezed back."""
+        obs = jnp.asarray(obs, jnp.float32)
+        pobs = jnp.asarray(pobs, jnp.float32)
+        squeeze = obs.ndim == 2
+        if squeeze:
+            obs, pobs = obs[None], pobs[None]
+        if dropout is None:
+            dropout = False
+        a = self._act(state.actor_params, rng, obs, pobs, evaluate, dropout)
+        return a[0] if squeeze else a
+
+    # ------------------------------------------------------------------
+    # core SAC update (DRL.py learn)
+    # ------------------------------------------------------------------
+    def _td_target(self, state, alpha, batch, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        nxt = self._sample_actor(state.actor_params, batch["next_obs"],
+                                 batch["next_pobs"], k1, dropout_key=k2)
+        q1_t, q2_t = self._apply_critic(state.critic_target_params,
+                                        batch["next_obs"], batch["next_pobs"],
+                                        nxt.action, dropout_key=k3)
+        min_q = jnp.minimum(q1_t, q2_t) - alpha * nxt.log_prob
+        rew = batch["rew"].reshape(-1, 1)
+        target = rew + self.gamma * min_q
+        if self.done_mask:
+            target = rew + self.gamma * (1.0 - batch["done"].reshape(-1, 1)) * min_q
+        return jax.lax.stop_gradient(target)
+
+    def _critic_update(self, state, batch, target, key, weights=None):
+        def loss_fn(cp):
+            k1 = key
+            q1, q2 = self._apply_critic(cp, batch["obs"], batch["pobs"],
+                                        batch["act"], dropout_key=k1)
+            if weights is None:
+                l1 = jnp.mean(jnp.square(q1 - target))
+                l2 = jnp.mean(jnp.square(q2 - target))
+            else:
+                w = weights.reshape(-1, 1)
+                denom = jnp.sum(w) * q1.shape[1]
+                l1 = jnp.sum(w * jnp.square(q1 - target)) / denom
+                l2 = jnp.sum(w * jnp.square(q2 - target)) / denom
+            return l1 + l2, (l1, l2)
+
+        (qf_loss, (qf1_loss, qf2_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.critic_params)
+        updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
+                                                 state.critic_params)
+        new_params = optax.apply_updates(state.critic_params, updates)
+        return state.replace(critic_params=new_params, critic_opt=new_opt), \
+            qf1_loss, qf2_loss
+
+    def _actor_update(self, state, alpha, batch, key, weights=None,
+                      extra_loss_fn=None):
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        def loss_fn(ap):
+            s = self._sample_actor(ap, batch["obs"], batch["pobs"], k1,
+                                   dropout_key=k2)
+            q1_pi, q2_pi = self._apply_critic(state.critic_params,
+                                              batch["obs"], batch["pobs"],
+                                              s.action, dropout_key=k3)
+            min_q = jnp.minimum(q1_pi, q2_pi)
+            per_elem = alpha * s.log_prob - min_q  # (B,1)-(B,2) broadcast
+            if weights is None:
+                ploss = jnp.mean(per_elem)
+            else:
+                w = weights.reshape(-1, 1)
+                ploss = jnp.sum(w * per_elem) / (jnp.sum(w) * per_elem.shape[1])
+            if extra_loss_fn is not None:
+                ploss = ploss + extra_loss_fn(ap)
+            return ploss, s.log_prob
+
+        (policy_loss, log_pi), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.actor_params)
+        updates, new_opt = self.actor_tx.update(grads, state.actor_opt,
+                                                state.actor_params)
+        new_params = optax.apply_updates(state.actor_params, updates)
+        return state.replace(actor_params=new_params, actor_opt=new_opt), \
+            policy_loss, log_pi
+
+    def _alpha_update(self, state, log_pi):
+        if not self.auto_tune:
+            return state, jnp.asarray(0.0, jnp.float32)
+
+        def loss_fn(la):
+            return -jnp.mean(la * jax.lax.stop_gradient(
+                log_pi + self.target_entropy))
+
+        alpha_loss, grad = jax.value_and_grad(loss_fn)(state.log_alpha)
+        updates, new_opt = self.alpha_tx.update(grad, state.alpha_opt,
+                                                state.log_alpha)
+        new_log_alpha = optax.apply_updates(state.log_alpha, updates)
+        return state.replace(log_alpha=new_log_alpha, alpha_opt=new_opt), \
+            alpha_loss
+
+    def _polyak(self, state):
+        def do(target):
+            return jax.tree_util.tree_map(
+                lambda t, s: t * (1.0 - self.tau) + s * self.tau,
+                target, state.critic_params)
+
+        new_target = jax.lax.cond(
+            state.itera % self.policy_freq == 0,
+            do, lambda t: t, state.critic_target_params)
+        return state.replace(critic_target_params=new_target,
+                             itera=state.itera + 1)
+
+    def _train_step_impl(self, state: SACTrainState, batch
+                         ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
+        key = jax.random.fold_in(state.rng, state.itera)
+        k_tgt, k_crit, k_act = jax.random.split(key, 3)
+        alpha = self._alpha_of(state)
+
+        target = self._td_target(state, alpha, batch, k_tgt)
+        state, qf1_loss, qf2_loss = self._critic_update(state, batch, target, k_crit)
+        state, policy_loss, log_pi = self._actor_update(state, alpha, batch, k_act)
+        state, alpha_loss = self._alpha_update(state, log_pi)
+        state = self._polyak(state)
+        metrics = {
+            "qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
+            "policy_loss": policy_loss, "alpha_loss": alpha_loss,
+            "alpha": alpha, "entropy": -jnp.mean(log_pi),
+        }
+        return state, metrics
+
+    def learn(self, state: SACTrainState, batch) -> Tuple[SACTrainState, Dict]:
+        """One fused SAC update (DRL.py:373-437)."""
+        return self._train_step(state, batch)
+
+    # ------------------------------------------------------------------
+    # guided update (DRL.py learn_guidence)
+    # ------------------------------------------------------------------
+    def _guided_step_impl(self, state: SACTrainState, batch, expert_batch,
+                          n_expert: jax.Array
+                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
+        """batch: agent transitions (B, ...), includes 'engage';
+        expert_batch: expert transitions (B, ...) with 'act' = expert action;
+        n_expert: number of valid expert rows (rest are mask padding) —
+        the reference's dynamic concat (DRL.py:195-220) with static shapes."""
+        key = jax.random.fold_in(state.rng, state.itera)
+        k_tgt, k_crit, k_act, k_g, k_e = jax.random.split(key, 5)
+        alpha = self._alpha_of(state)
+
+        b = batch["obs"].shape[0]
+        be = expert_batch["obs"].shape[0]
+        valid = (jnp.arange(be) < n_expert).astype(jnp.float32)
+        merged = {
+            k: jnp.concatenate([batch[k], expert_batch[k]], axis=0)
+            for k in ("obs", "pobs", "act", "rew", "next_obs", "next_pobs", "done")
+        }
+        weights = jnp.concatenate([jnp.ones((b,), jnp.float32), valid])
+
+        target = self._td_target(state, alpha, merged, k_tgt)
+        state, qf1_loss, qf2_loss = self._critic_update(
+            state, merged, target, k_crit, weights=weights)
+
+        # expert BC loss on deterministic mean action (DRL.py:257-265)
+        def guidence_loss(ap):
+            s = self._sample_actor(ap, expert_batch["obs"],
+                                   expert_batch["pobs"], k_g, dropout_key=None)
+            sq = jnp.square(s.mean - expert_batch["act"])
+            denom = jnp.maximum(jnp.sum(valid) * sq.shape[1], 1.0)
+            mse = jnp.sum(valid.reshape(-1, 1) * sq) / denom
+            has_expert = (n_expert > 0).astype(jnp.float32)
+            return self.guidence_weight * mse * has_expert
+
+        # real-time intervention loss on engage==1 rows (DRL.py:267-276)
+        def engage_loss(ap):
+            eng = batch["engage"].reshape(-1).astype(jnp.float32)
+            s = self._sample_actor(ap, batch["obs"], batch["pobs"], k_e,
+                                   dropout_key=None)
+            sq = jnp.square(s.mean - batch["act"])
+            denom = jnp.maximum(jnp.sum(eng) * sq.shape[1], 1.0)
+            mse = jnp.sum(eng.reshape(-1, 1) * sq) / denom
+            has_engage = (jnp.sum(eng) > 0).astype(jnp.float32)
+            return self.engage_weight * mse * has_engage
+
+        extra = lambda ap: guidence_loss(ap) + engage_loss(ap)
+        state, policy_loss, log_pi = self._actor_update(
+            state, alpha, merged, k_act, weights=weights, extra_loss_fn=extra)
+        state, alpha_loss = self._alpha_update(state, log_pi)
+        state = self._polyak(state)
+        metrics = {
+            "qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
+            "policy_loss": policy_loss, "alpha_loss": alpha_loss,
+            "alpha": alpha, "n_expert": n_expert.astype(jnp.float32),
+        }
+        return state, metrics
+
+    def learn_guidence(self, state, batch, expert_batch, n_expert):
+        return self._guided_step(state, batch, expert_batch,
+                                 jnp.asarray(n_expert, jnp.int32))
+
+    @staticmethod
+    def expert_batch_size(exp_buffer_size: int, agent_buffer_size: int,
+                          batch_size: int) -> int:
+        """DRL.py:195: min(floor(exp/agent * batch), batch)."""
+        if agent_buffer_size <= 0:
+            return batch_size
+        return int(min(np.floor(exp_buffer_size / agent_buffer_size * batch_size),
+                       batch_size))

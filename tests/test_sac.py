@@ -1,0 +1,181 @@
+"""SAC train-step tests: mechanics, reference quirks, and optimizer parity.
+
+The reference's learn() can't run here (cpprb absent), so semantics are tested
+piecewise against closed forms and a torch.optim.Adam oracle
+(SURVEY.md §4 'Unit').
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dgvit_tpu.agents import SACAgent
+from dgvit_tpu.config import Config
+
+B = 4
+IH, IW = 128, 160
+
+
+def tiny_cfg(**sac_overrides) -> Config:
+    return Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64},
+        "sac": {"batch_size": B, **sac_overrides},
+    })
+
+
+def make_batch(key, b=B):
+    ks = jax.random.split(key, 8)
+    return {
+        "obs": jax.random.uniform(ks[0], (b, IH, IW)),
+        "act": jax.random.uniform(ks[1], (b, 2), minval=-1, maxval=1),
+        "pobs": jax.random.uniform(ks[2], (b, 2)),
+        "next_pobs": jax.random.uniform(ks[3], (b, 2)),
+        "rew": jax.random.normal(ks[4], (b, 1)),
+        "next_obs": jax.random.uniform(ks[5], (b, IH, IW)),
+        "engage": jnp.zeros((b, 1)),
+        "done": jnp.zeros((b, 1)),
+    }
+
+
+@pytest.fixture(scope="module")
+def agent():
+    return SACAgent(tiny_cfg())
+
+
+@pytest.fixture()
+def agent_and_state(agent):
+    # fresh state per test: learn() donates (and thus invalidates) its input
+    return agent, agent.init_state(seed=3407)
+
+
+def test_train_step_runs_and_metrics_finite(agent_and_state):
+    agent, state = agent_and_state
+    old_itera = int(state.itera)
+    old_actor = jax.tree_util.tree_map(np.asarray, state.actor_params)
+    batch = make_batch(jax.random.PRNGKey(0))
+    new_state, metrics = agent.learn(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(new_state.itera) == old_itera + 1
+    # parameters actually moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - np.asarray(b)).max()),
+        old_actor, new_state.actor_params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_polyak_update_math(agent_and_state):
+    agent, state = agent_and_state
+    tau = agent.tau
+    t0 = np.asarray(jax.tree_util.tree_leaves(state.critic_target_params)[0])
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, _ = agent.learn(state, batch)
+    # itera=0 -> soft update fires (DRL.py:431: itera % policy_freq == 0)
+    c1 = np.asarray(jax.tree_util.tree_leaves(new_state.critic_params)[0])
+    t1 = np.asarray(jax.tree_util.tree_leaves(new_state.critic_target_params)[0])
+    np.testing.assert_allclose(t1, t0 * (1 - tau) + c1 * tau, atol=1e-6)
+
+
+def test_td_target_no_done_mask_by_default():
+    """The reference omits (1-done) in the target (DRL.py:394). With done=1
+    and the default config, the target must still bootstrap."""
+    agent = SACAgent(tiny_cfg())
+    state = agent.init_state(0)
+    batch = make_batch(jax.random.PRNGKey(2))
+    batch["done"] = jnp.ones((B, 1))
+    key = jax.random.PRNGKey(3)
+    tgt = agent._td_target(state, jnp.asarray(1.0), batch, key)
+
+    agent_fixed = SACAgent(tiny_cfg(done_mask_in_target=True))
+    tgt_fixed = agent_fixed._td_target(state, jnp.asarray(1.0), batch, key)
+    # masked target == pure reward when done=1
+    np.testing.assert_allclose(np.asarray(tgt_fixed),
+                               np.broadcast_to(np.asarray(batch["rew"]), tgt_fixed.shape),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(tgt), np.asarray(tgt_fixed))
+
+
+def test_alpha_autotuning_updates_log_alpha(agent_and_state):
+    agent, state = agent_and_state
+    old_log_alpha = float(state.log_alpha)
+    batch = make_batch(jax.random.PRNGKey(4))
+    new_state, metrics = agent.learn(state, batch)
+    assert float(new_state.log_alpha) != old_log_alpha
+    # alpha reported this step is the PREVIOUS exp(log_alpha) (DRL.py order)
+    np.testing.assert_allclose(float(metrics["alpha"]),
+                               float(np.exp(old_log_alpha)), rtol=1e-6)
+
+
+def test_optax_adam_matches_torch_adam():
+    """torch.optim.Adam and optax.adam must walk identical trajectories
+    (same lr/betas/eps) so from-scratch training matches the reference."""
+    torch = pytest.importorskip("torch")
+    w0 = np.array([1.5, -2.0, 0.5], np.float32)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    topt = torch.optim.Adam([tw], lr=1e-3)
+    jw = jnp.asarray(w0)
+    jopt = optax.adam(1e-3, eps=1e-8)
+    jstate = jopt.init(jw)
+
+    for i in range(5):
+        loss = (tw ** 2).sum()
+        topt.zero_grad(); loss.backward(); topt.step()
+        g = jax.grad(lambda w: jnp.sum(w ** 2))(jw)
+        upd, jstate = jopt.update(g, jstate, jw)
+        jw = optax.apply_updates(jw, upd)
+    np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_guided_step_with_and_without_expert():
+    agent = SACAgent(tiny_cfg())
+    state = agent.init_state(7)
+    batch = make_batch(jax.random.PRNGKey(5))
+    expert = make_batch(jax.random.PRNGKey(6))
+
+    s1, m1 = agent.learn_guidence(state, batch, expert, n_expert=B)
+    assert np.isfinite(float(m1["policy_loss"]))
+    assert float(m1["n_expert"]) == B
+
+    state2 = agent.init_state(7)
+    s2, m2 = agent.learn_guidence(state2, batch, expert, n_expert=0)
+    assert np.isfinite(float(m2["policy_loss"]))
+    # different effective losses when expert rows are masked out
+    assert float(m1["qf1_loss"]) != float(m2["qf1_loss"])
+
+
+def test_expert_batch_size_formula():
+    # DRL.py:195 min(floor(exp/agent * batch), batch)
+    assert SACAgent.expert_batch_size(1000, 100, 32) == 32
+    assert SACAgent.expert_batch_size(50, 1000, 32) == 1
+    assert SACAgent.expert_batch_size(0, 1000, 32) == 0
+
+
+def test_choose_action_shapes_and_determinism():
+    agent = SACAgent(tiny_cfg())
+    state = agent.init_state(0)
+    obs = jnp.zeros((IH, IW))
+    pobs = jnp.zeros((2,))
+    a = agent.choose_action(state, obs, pobs, jax.random.PRNGKey(0))
+    assert a.shape == (2,)
+    e1 = agent.choose_action(state, obs, pobs, jax.random.PRNGKey(1), evaluate=True)
+    e2 = agent.choose_action(state, obs, pobs, jax.random.PRNGKey(2), evaluate=True)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=0)
+    assert bool(jnp.all(jnp.abs(a) <= 1.0))
+
+
+def test_deterministic_actor_config():
+    cfg = Config.from_dict({
+        "model": {"actor_type": "DeterministicTransformer", "block": 1,
+                  "head": 2, "latent_size": 32, "mlp_dim": 64},
+    })
+    agent = SACAgent(cfg)
+    assert agent.auto_tune is False and agent.fixed_alpha == 0.0
+    state = agent.init_state(0)
+    batch = make_batch(jax.random.PRNGKey(8))
+    new_state, metrics = agent.learn(state, batch)
+    assert np.isfinite(float(metrics["policy_loss"]))
+    assert float(metrics["alpha"]) == 0.0
