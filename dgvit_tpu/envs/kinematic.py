@@ -1,0 +1,184 @@
+"""Kinematic differential-drive navigation env — the Gazebo-free stand-in
+that lets the FULL RL loop run in CI (SURVEY.md §4 'Env without Gazebo').
+
+World model: the reference RRC arena approximated by the obstacle boxes of
+utils.check_pos (utils.py:77-89) inside the arena bounds. Sensors are
+synthesized: a planar laser (ray/AABB intersection, 360 rays over +-120 deg
+like robot_w.urdf:1079-1113) and a column-depth camera (depth to nearest
+obstacle per bearing, clip 0.03-8 m like robot_w.urdf:751-752).
+
+Dynamics: unicycle integration at the reference's 0.1 s control cadence
+(env_lab.py:204). Reward/polar math comes from envs/reward.py — the same
+jittable functions the device-side pipeline uses, so there is one source of
+truth for the semantics of env_lab.py:274-301."""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dgvit_tpu.envs.base import ResetResult, StepResult
+from dgvit_tpu.envs import reward as R
+
+# (x0, x1, y0, y1) — active boxes of the RRC world (utils.py:78-86; the
+# always-False sixth clause is omitted here because nothing can collide
+# with a zero-area box)
+BOXES: List[Tuple[float, float, float, float]] = [
+    (3.6, 5.5, -3.5, 4.0), (-4.5, 4.0, -3.5, -1.8), (-3.5, 3.3, -1.6, 2.5),
+    (-5.0, -4.0, -3.5, 0.3), (-5.5, -4.0, 2.0, 4.0),
+    (-4.1, 0.1, 3.0, 4.0), (2.2, 3.8, 2.5, 4.0), (0.0, 2.3, 2.5, 4.0),
+]
+ARENA = (-5.5, 5.5, -3.6, 4.1)  # outer walls
+
+
+def _ray_box_distance(px, py, dx, dy, box) -> float:
+    """Distance along (dx,dy) from (px,py) to AABB `box`, inf if missed."""
+    x0, x1, y0, y1 = box
+    tmin, tmax = 0.0, np.inf
+    for p, d, lo, hi in ((px, dx, x0, x1), (py, dy, y0, y1)):
+        if abs(d) < 1e-12:
+            if p < lo or p > hi:
+                return np.inf
+        else:
+            t1, t2 = (lo - p) / d, (hi - p) / d
+            if t1 > t2:
+                t1, t2 = t2, t1
+            tmin, tmax = max(tmin, t1), min(tmax, t2)
+            if tmin > tmax:
+                return np.inf
+    return tmin if tmin >= 0 else np.inf
+
+
+def _ray_distances(px: float, py: float, bearings: np.ndarray,
+                   max_range: float) -> np.ndarray:
+    """Min distance per bearing to any box or arena wall."""
+    out = np.full(bearings.shape, max_range, np.float64)
+    dxs, dys = np.cos(bearings), np.sin(bearings)
+    ax0, ax1, ay0, ay1 = ARENA
+    for i, (dx, dy) in enumerate(zip(dxs, dys)):
+        best = max_range
+        for box in BOXES:
+            d = _ray_box_distance(px, py, dx, dy, box)
+            if d < best:
+                best = d
+        # arena walls (robot is inside; take exit distance)
+        for p, dd, lo, hi in ((px, dx, ax0, ax1), (py, dy, ay0, ay1)):
+            if abs(dd) > 1e-12:
+                for bound in (lo, hi):
+                    t = (bound - p) / dd
+                    if 0 <= t < best:
+                        best = t
+        out[i] = best
+    return out
+
+
+def default_records(n: int = 32, seed: int = 0) -> List[dict]:
+    """Random valid start/goal records in the reference npz layout
+    (env_lab.py:103-105 keys xR,yR,xG,yG,quaterZ,quaterW,distance)."""
+    rng = np.random.default_rng(seed)
+    recs = []
+    while len(recs) < n:
+        xR, yR = rng.uniform(-5, 5), rng.uniform(-3, 3.7)
+        xG, yG = rng.uniform(-5, 5), rng.uniform(-3, 3.7)
+        if not (R.check_pos(xR, yR) and R.check_pos(xG, yG)):
+            continue
+        d = math.hypot(xR - xG, yR - yG)
+        if d < 1.0:
+            continue
+        recs.append({"xR": xR, "yR": yR, "xG": xG, "yG": yG,
+                     "quaterZ": 0.0, "quaterW": 1.0, "distance": d})
+    return recs
+
+
+def load_position_records(npz_path: str) -> List[dict]:
+    """Load a reference resource/*.npz position file (env_lab.py:103-105)."""
+    data = np.load(npz_path, allow_pickle=True)
+    return [data[k].item() for k in data]
+
+
+class KinematicNavEnv:
+    """Env-protocol implementation (reset/step contract of env_lab.py)."""
+
+    DT = 0.1                       # control cadence (env_lab.py:204)
+    LASER_RAYS = 72                # decimated from 360 for CI speed
+    LASER_FOV = 2.0 * 2.0944       # +-120 deg (robot_w.urdf:1090)
+    LASER_MAX = 10.0
+    CAM_FOV = 1.396                # robot_w.urdf:747
+    CAM_CLIP = (0.03, 8.0)
+
+    def __init__(self, records: Optional[List[dict]] = None,
+                 image_hw: Tuple[int, int] = (128, 160),
+                 max_steps: int = 800, seed: int = 0,
+                 min_range: float = 0.2):
+        self.records = records or default_records(seed=seed)
+        self.indice_position = 0
+        self.image_hw = image_hw
+        self.min_range = min_range
+        self.collision = 0
+        self.x = self.y = self.theta = 0.0
+        self.goalX = self.goalY = 2.0
+        self.dist_old = 1.0
+        self.last_act = (0.0, 0.0)
+
+    # -- sensors -----------------------------------------------------------
+    def _laser(self) -> np.ndarray:
+        bearings = self.theta + np.linspace(
+            -self.LASER_FOV / 2, self.LASER_FOV / 2, self.LASER_RAYS)
+        return _ray_distances(self.x, self.y, bearings, self.LASER_MAX)
+
+    def _depth_image(self) -> np.ndarray:
+        h, w = self.image_hw
+        bearings = self.theta + np.linspace(
+            self.CAM_FOV / 2, -self.CAM_FOV / 2, w)
+        d = _ray_distances(self.x, self.y, bearings, self.CAM_CLIP[1])
+        d = np.clip(d, *self.CAM_CLIP)
+        # column depth replicated over rows with a mild vertical ramp so the
+        # image has 2-D structure; normalized to [0,1] like state=img/255
+        ramp = np.linspace(1.0, 0.85, h)[:, None]
+        img = (d[None, :] / self.CAM_CLIP[1]) * ramp
+        return img.astype(np.float32)[..., None]
+
+    def _to_goal(self, act0=0.0, act1=0.0) -> np.ndarray:
+        return np.asarray(R.polar_goal(self.x, self.y, self.goalX, self.goalY,
+                                       self.theta, act0, act1), np.float32)
+
+    # -- protocol ----------------------------------------------------------
+    def reset(self) -> ResetResult:
+        rec = self.records[self.indice_position]
+        self.indice_position = (self.indice_position + 1) % len(self.records)
+        self.x, self.y = float(rec["xR"]), float(rec["yR"])
+        self.goalX, self.goalY = float(rec["xG"]), float(rec["yG"])
+        self.theta = float(np.asarray(R.quaternion_yaw(
+            rec.get("quaterW", 1.0), 0.0, 0.0, rec.get("quaterZ", 0.0))))
+        self.dist_old = math.hypot(self.x - self.goalX, self.y - self.goalY)
+        self.last_act = (0.0, 0.0)
+        return ResetResult(state=self._depth_image(), xR=self.x, yR=self.y,
+                           to_goal=self._to_goal())
+
+    def step(self, action: Sequence[float], t: int) -> StepResult:
+        v, w = float(action[0]), float(action[1])
+        self.theta = math.atan2(math.sin(self.theta + w * self.DT),
+                                math.cos(self.theta + w * self.DT))
+        self.x += v * math.cos(self.theta) * self.DT
+        self.y += v * math.sin(self.theta) * self.DT
+
+        ranges = self._laser()
+        col, _ = R.laser_collision(np.asarray(ranges, np.float32),
+                                   self.min_range)
+        col = bool(col)
+        dist = math.hypot(self.x - self.goalX, self.y - self.goalY)
+        out = R.step_reward(self.dist_old, dist, col, v, w)
+        self.dist_old = float(out.dist)
+        if col:
+            self.collision += 1
+        self.last_act = (v, w)
+        return StepResult(state=self._depth_image(),
+                          reward=float(out.reward),
+                          done=bool(out.done),
+                          to_goal=self._to_goal(v, w),
+                          target=bool(out.target))
+
+    def stop(self) -> None:
+        pass
