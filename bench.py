@@ -1,0 +1,79 @@
+"""Benchmark harness — batched GoT policy forward throughput on one chip.
+
+Headline metric (BASELINE.json north star): batched depth-frames/sec/chip for
+the flagship GoT actor (dim 64, 4 blocks, 4 heads, 65 tokens — config.yaml:
+58-63, GoalFormer.py:123-171). Target: >= 10,000 frames/s on TPU v5e.
+
+Measurement notes:
+  * N_INNER forward passes run inside ONE jitted lax.scan with a data
+    dependency (the action output feeds the next goal token), so per-dispatch
+    tunnel/driver latency amortizes away and on-device time dominates.
+  * completion is forced by pulling a scalar to the host (robust even where
+    block_until_ready is unreliable on tunneled backends).
+  * bf16 compute / fp32 params — the production inference configuration;
+    fp32 parity is enforced separately in tests/test_parity_torch.py.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_FRAMES_PER_SEC = 10_000.0  # BASELINE.md north-star target
+BATCH = 2048
+N_INNER = 32
+N_OUTER = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.models import build_actor
+
+    cfg = Config()
+    actor = build_actor(cfg, dtype=jnp.bfloat16)
+    params = actor.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 128, 160)), jnp.zeros((1, 2)))
+
+    @jax.jit
+    def rollout(params, obs, goal0):
+        def body(goal, _):
+            mean, _ls = actor.apply(params, obs, goal)
+            act = jnp.tanh(mean.astype(jnp.float32))
+            return act, act[0, 0]
+
+        final, trace = jax.lax.scan(body, goal0, None, length=N_INNER)
+        return final, trace.sum()
+
+    key = jax.random.PRNGKey(1)
+    obs = jax.random.uniform(key, (BATCH, 128, 160), jnp.float32)
+    goal0 = jnp.zeros((BATCH, 2), jnp.float32)
+
+    # compile + warm up
+    _, s = rollout(params, obs, goal0)
+    float(s)
+
+    best = float("inf")
+    for _ in range(N_OUTER):
+        t0 = time.perf_counter()
+        _, s = rollout(params, obs, goal0)
+        float(s)  # host pull forces completion
+        best = min(best, time.perf_counter() - t0)
+
+    frames_per_sec = BATCH * N_INNER / best
+    print(json.dumps({
+        "metric": "batched depth-frames/sec/chip (policy fwd)",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,15 +74,30 @@ def _ray_distances(px: float, py: float, bearings: np.ndarray,
     return out
 
 
-def default_records(n: int = 32, seed: int = 0) -> List[dict]:
+def _box_clearance(x: float, y: float) -> float:
+    """Distance from (x, y) to the nearest obstacle box or arena wall."""
+    best = min(x - ARENA[0], ARENA[1] - x, y - ARENA[2], ARENA[3] - y)
+    for x0, x1, y0, y1 in BOXES:
+        dx = max(x0 - x, 0.0, x - x1)
+        dy = max(y0 - y, 0.0, y - y1)
+        best = min(best, math.hypot(dx, dy))
+    return best
+
+
+def default_records(n: int = 32, seed: int = 0,
+                    clearance: float = 0.4) -> List[dict]:
     """Random valid start/goal records in the reference npz layout
-    (env_lab.py:103-105 keys xR,yR,xG,yG,quaterZ,quaterW,distance)."""
+    (env_lab.py:103-105 keys xR,yR,xG,yG,quaterZ,quaterW,distance).
+    check_pos's free space includes slivers tighter than the 0.2 m laser
+    collision radius, so a clearance margin keeps spawns collision-free."""
     rng = np.random.default_rng(seed)
     recs = []
     while len(recs) < n:
         xR, yR = rng.uniform(-5, 5), rng.uniform(-3, 3.7)
         xG, yG = rng.uniform(-5, 5), rng.uniform(-3, 3.7)
         if not (R.check_pos(xR, yR) and R.check_pos(xG, yG)):
+            continue
+        if _box_clearance(xR, yR) < clearance or _box_clearance(xG, yG) < clearance:
             continue
         d = math.hypot(xR - xG, yR - yG)
         if d < 1.0:

@@ -1,0 +1,1 @@
+from dgvit_tpu.parallel.shard import shard_sac_state, shard_batch, sharded_learn

@@ -1,0 +1,67 @@
+"""Sharded training: DP over `data`, TP over `model`, `seq` reserved.
+
+The reference is single-process single-GPU (SURVEY.md §2.3); this module is
+the scaling layer it lacks. Strategy (scaling-book style): annotate input
+shardings — batch over `data`, the ViT MLP/QKV weights over `model` — and let
+GSPMD insert the collectives (gradient psum over ICI for DP; a single
+all-reduce per MLP pair for Megatron-style column+row TP).
+
+No NCCL/MPI analogue exists or is needed: XLA collectives ride ICI inside a
+slice and DCN across slices, selected by the mesh construction
+(core/mesh.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+from dgvit_tpu.agents.sac import SACAgent, SACTrainState
+from dgvit_tpu.core.mesh import MeshRuntime
+
+
+def shard_sac_state(runtime: MeshRuntime, state: SACTrainState) -> SACTrainState:
+    """Model params TP-sharded over `model` where profitable, optimizer state
+    sharded to match (it is a pytree of the same shapes), scalars replicated."""
+    def place(tree):
+        shardings = runtime.param_sharding(tree)
+        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+    return SACTrainState(
+        actor_params=place(state.actor_params),
+        critic_params=place(state.critic_params),
+        critic_target_params=place(state.critic_target_params),
+        actor_opt=jax.tree_util.tree_map(
+            lambda x: runtime.replicate(x) if np.ndim(x) < 2 else place_leaf(runtime, x),
+            state.actor_opt),
+        critic_opt=jax.tree_util.tree_map(
+            lambda x: runtime.replicate(x) if np.ndim(x) < 2 else place_leaf(runtime, x),
+            state.critic_opt),
+        log_alpha=runtime.replicate(state.log_alpha),
+        alpha_opt=runtime.replicate(state.alpha_opt),
+        itera=runtime.replicate(state.itera),
+        rng=runtime.replicate(state.rng),
+    )
+
+
+def place_leaf(runtime: MeshRuntime, x):
+    """Adam moments share the parameter layout; reuse the shape-based rule."""
+    sh = runtime.param_sharding({"leaf": x})["leaf"]
+    return jax.device_put(x, sh)
+
+
+def shard_batch(runtime: MeshRuntime, batch: Dict[str, Any]) -> Dict[str, Any]:
+    return runtime.shard_batch(batch)
+
+
+def sharded_learn(agent: SACAgent, runtime: MeshRuntime):
+    """Data/model-parallel jitted SAC step. Inputs carry their shardings
+    (shard_sac_state / shard_batch); GSPMD propagates and inserts psums."""
+    step = jax.jit(agent._train_step_impl, donate_argnums=(0,))
+
+    def learn(state: SACTrainState, batch) -> Tuple[SACTrainState, Dict]:
+        with runtime.mesh:
+            return step(state, batch)
+
+    return learn

@@ -1,0 +1,293 @@
+"""RL training driver — main.py:130-424 rebuilt on the TPU stack.
+
+Behavioral contract mirrored from the reference:
+  * expert demos preloaded into the expert buffer (main.py:223-268)
+  * action mapping a_in = [(a0+1)*L_SCALE, a1*A_SCALE] (main.py:320,370)
+  * first-step special case + "Bad Initialization" skip (main.py:310-334)
+  * rolling-20 mean; evaluation when mean >= reward_threshold and
+    ep_real > eval_threshold; save when avg_reward > save_threshold or
+    collisions < 6, with metric-encoded names (main.py:345-356)
+  * reward curve npy/png every plot_interval (main.py:364-365)
+  * final summary appended to results/training_data.txt (main.py:410-417)
+
+TPU differences (by design): one fused jitted SAC update per step instead of
+~8 dispatches; full train-state checkpoints so runs resume; env is pluggable
+(kinematic/replay for Gazebo-free runs, ROS2 adapter for the real sim).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dgvit_tpu.agents import SACAgent
+from dgvit_tpu.config import Config, load_reference_yaml
+from dgvit_tpu.core import checkpoint as ckpt
+from dgvit_tpu.core.rng import RngStream
+from dgvit_tpu.envs import Env, KinematicNavEnv
+from dgvit_tpu.envs.replay_env import load_demo_npz
+from dgvit_tpu.replay import PrioritizedReplayBuffer
+from dgvit_tpu.replay.buffer import reference_schema
+from dgvit_tpu.utils import MetricsLogger, RewardCurve
+
+
+def evaluate(env: Env, agent: SACAgent, state, rng: RngStream,
+             max_steps: int, l_scale: float, a_scale: float,
+             max_action: float = 1.0, eval_episodes: int = 10,
+             logger: Optional[MetricsLogger] = None, epoch: int = 0):
+    """main.py:55-114: N deterministic episodes, mean reward + collisions."""
+    env.collision = 0
+    ep = 0
+    rewards = []
+    while ep < eval_episodes:
+        count = 0
+        r = env.reset()
+        state_obs = np.squeeze(r.state, -1) if r.state.ndim == 3 else r.state
+        goal = r.to_goal
+        avg_reward = 0.0
+        done = False
+        while not done and count < max_steps:
+            a = np.asarray(agent.choose_action(
+                state, state_obs, goal[:2], rng.next(), evaluate=True))
+            a = a.clip(-max_action, max_action)
+            a_in = [(a[0] + 1) * l_scale, a[1] * a_scale]
+            s = env.step(a_in, count)
+            if count == 0 and s.done:
+                # Bad initialization, skip episode (main.py:329-334)
+                ep -= 1
+                if not s.target:
+                    env.collision -= 1
+                break
+            avg_reward += s.reward if count > 0 else 0.0
+            state_obs = np.squeeze(s.state, -1) if s.state.ndim == 3 else s.state
+            goal = s.to_goal
+            done = s.done
+            count += 1
+        ep += 1
+        rewards.append(avg_reward)
+    mean_r = float(np.mean(rewards)) if rewards else 0.0
+    col = env.collision
+    if logger:
+        logger.log(epoch, eval_reward=mean_r, eval_collisions=col)
+    return mean_r, col
+
+
+def load_expert_dataset(pattern: str):
+    """main.py:223-268: glob + natsort + concat demo npz files."""
+    try:
+        from natsort import natsorted
+        files = natsorted(glob.glob(pattern))
+    except ImportError:
+        files = sorted(glob.glob(pattern))
+    if not files:
+        return None
+    return load_demo_npz(files)
+
+
+def train(cfg: Config, env: Env, out_dir: str = "results",
+          expert_glob: Optional[str] = None, max_episodes: Optional[int] = None,
+          resume: bool = False) -> dict:
+    t = cfg.train
+    e = cfg.env
+    s = cfg.sac
+    rng = RngStream(t.seed)
+    agent = SACAgent(cfg)
+    state = agent.init_state(t.seed)
+
+    ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
+    if resume:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest:
+            state = ckpt.restore_train_state(latest, state)
+
+    logger = MetricsLogger(out_dir, f"train_{cfg.model.name}_{t.desc}")
+    curve = RewardCurve()
+
+    ih, iw = cfg.model.image_size
+    buf = PrioritizedReplayBuffer(
+        s.buffer_size, reference_schema((ih, iw), s.action_dim, s.pstate_dim),
+        seed=t.seed)
+
+    expert_buf = None
+    expert_size = 0
+    if t.pre_buffer and expert_glob:
+        data = load_expert_dataset(expert_glob)
+        if data is not None:
+            expert_buf = PrioritizedReplayBuffer(
+                data["obs"].shape[0] + 1,
+                reference_schema((ih, iw), s.action_dim, s.pstate_dim,
+                                 expert=True), seed=t.seed)
+            obs = data["obs"][..., 0] if data["obs"].ndim == 4 else data["obs"]
+            nxt = (data["next_obs"][..., 0] if data["next_obs"].ndim == 4
+                   else data["next_obs"])
+            n = obs.shape[0]
+            expert_buf.add(obs=obs, act_exp=data["act"],
+                           pobs=data["goal"][:, :2],
+                           next_pobs=data["next_goal"][:, :2],
+                           rew=np.resize(data["reward"], (n,)),
+                           next_obs=nxt,
+                           done=data["done"].astype(np.float32))
+            expert_size = n
+
+    max_eps = max_episodes if max_episodes is not None else e.max_episodes
+    max_action = e.max_action
+    reward_threshold = t.reward_threshold
+    save_threshold = t.save_threshold
+    cntr2 = 0   # successes
+    ep_real = 0
+    total_steps = 0
+    start_time = time.time()
+
+    def to_batch(d):
+        import jax.numpy as jnp
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    for ep in range(max_eps):
+        episode_reward = 0.0
+        r = env.reset()
+        obs = np.squeeze(r.state, -1) if r.state.ndim == 3 else r.state
+        goal = r.to_goal
+        done = False
+        bad_init = False
+        for timestep in range(e.max_steps):
+            a = np.asarray(agent.choose_action(
+                state, obs, goal[:2], rng.next(), evaluate=t.if_test))
+            a = a.clip(-max_action, max_action)
+            a_in = [(a[0] + 1) * e.linear_cmd_scale, a[1] * e.angular_cmd_scale]
+            last_goal = goal
+            sres = env.step(a_in, timestep)
+            next_obs = (np.squeeze(sres.state, -1) if sres.state.ndim == 3
+                        else sres.state)
+            goal = sres.to_goal
+            done = sres.done
+
+            if timestep == 0:
+                if done:  # Bad initialization (main.py:329-334)
+                    bad_init = True
+                    break
+                obs = next_obs
+                continue
+
+            episode_reward += sres.reward
+            if not t.if_test:
+                buf.add(obs=obs, act=a, pobs=last_goal[:2],
+                        next_pobs=goal[:2], rew=sres.reward,
+                        next_obs=next_obs, engage=0.0, done=float(done))
+                if buf.get_stored_size() >= s.batch_size:
+                    if (t.human_intervention or t.pre_buffer) and expert_buf:
+                        k = agent.expert_batch_size(
+                            expert_size, buf.get_stored_size(), s.batch_size)
+                        eb = expert_buf.sample(s.batch_size)
+                        eb["act"] = eb.pop("act_exp")
+                        eb["engage"] = np.zeros((s.batch_size, 1), np.float32)
+                        state, metrics = agent.learn_guidence(
+                            state, to_batch(buf.sample(s.batch_size)),
+                            to_batch(eb), k)
+                    else:
+                        state, metrics = agent.learn(
+                            state, to_batch(buf.sample(s.batch_size)))
+            obs = next_obs
+            total_steps += 1
+            if sres.target:
+                cntr2 += 1
+            if done or timestep == e.max_steps - 1:
+                break
+
+        if bad_init:
+            continue
+        ep_real += 1
+        mean_r = curve.append(episode_reward)
+        logger.log(ep_real, episode_reward=episode_reward, mean_reward=mean_r)
+
+        # evaluation + checkpoint trigger (main.py:345-356)
+        if (mean_r >= reward_threshold and ep_real > t.eval_threshold
+                and not t.if_test):
+            reward_threshold = mean_r
+            avg_reward, nb_col = evaluate(
+                env, agent, state, rng, e.max_steps, e.linear_cmd_scale,
+                e.angular_cmd_scale, max_action, t.eval_epoch, logger, ep_real)
+            if avg_reward > save_threshold or nb_col < 6:
+                name = ckpt.reference_name(
+                    f"eval_{t.desc}_{cntr2}", int(avg_reward), t.seed, nb_col)
+                ckpt.save_params_npz(os.path.join(out_dir, "models"), name,
+                                     jax.tree_util.tree_map(np.asarray,
+                                                            state.actor_params))
+                ckpt.save_train_state(ckpt_dir, ep_real, state)
+                curve.save_npy(os.path.join(out_dir, "curves",
+                                            f"eval_reward_mean_{t.desc}.npy"))
+                save_threshold = avg_reward
+
+        if ep_real % t.plot_interval == 0:
+            curve.save_png(os.path.join(
+                out_dir, f"plot_{cfg.model.name}{cfg.model.block}"
+                f"{cfg.model.head}_{t.desc}.png"),
+                title=f"desc: {t.desc} block={cfg.model.block} "
+                      f"head={cfg.model.head}")
+
+    # final save + summary (main.py:404-417)
+    if t.save and not t.if_test:
+        ckpt.save_train_state(ckpt_dir, ep_real, state)
+        name = ckpt.reference_name(t.desc, int(curve.means[-1]) if curve.means
+                                   else 0, t.seed)
+        ckpt.save_params_npz(os.path.join(out_dir, "models"), name,
+                             jax.tree_util.tree_map(np.asarray,
+                                                    state.actor_params))
+    duration = time.time() - start_time
+    s_r = cntr2 / max(ep_real, 1)
+    logger.append_txt(
+        "training_data.txt",
+        "\n" + "-" * 80 + "\n"
+        f"Id = {t.desc} \t Sensor = {e.vis_sensor} Auto-tune: {s.auto_tune_alpha}\n"
+        f"seed = {t.seed} critic_type: {cfg.model.critic_type} \t "
+        f"actor_type: {cfg.model.actor_type} \t lfs = {cfg.model.latent_size} "
+        f"blocks = {cfg.model.block} heads = {cfg.model.head}\n"
+        f"Successes: {cntr2} ({s_r * 100:.1f} %), max mean reward = "
+        f"{curve.max_mean:.2f} \t Duration = {duration:.1f} (s)\n")
+    return {"successes": cntr2, "episodes": ep_real,
+            "max_mean_reward": curve.max_mean, "state": state}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="dgvit_tpu RL training")
+    p.add_argument("--config", help="structured YAML config")
+    p.add_argument("--reference-config",
+                   help="reference-format config.yaml to translate")
+    p.add_argument("--env", default="kinematic",
+                   choices=["kinematic", "replay", "ros2"])
+    p.add_argument("--expert-glob", default=None)
+    p.add_argument("--out", default="results")
+    p.add_argument("--episodes", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.reference_config:
+        cfg = load_reference_yaml(args.reference_config)
+    elif args.config:
+        cfg = Config.from_yaml(args.config)
+    else:
+        cfg = Config()
+
+    if args.env == "kinematic":
+        env = KinematicNavEnv(seed=cfg.train.seed,
+                              image_hw=tuple(cfg.model.image_size))
+    elif args.env == "replay":
+        from dgvit_tpu.envs import ReplayEnv
+        env = ReplayEnv(glob_pattern=args.expert_glob)
+    else:
+        from dgvit_tpu.envs.ros2_adapter import GazeboRos2Env
+        env = GazeboRos2Env(cfg)
+
+    out = train(cfg, env, args.out, args.expert_glob, args.episodes,
+                args.resume)
+    print(f"done: {out['successes']} successes over {out['episodes']} episodes,"
+          f" max mean reward {out['max_mean_reward']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

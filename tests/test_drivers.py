@@ -1,0 +1,108 @@
+"""Driver integration tests: the full RL loop (env -> replay -> fused SAC
+update -> eval -> checkpoint) and the demo->BC pipeline, Gazebo-free
+(SURVEY.md §4 'Env without Gazebo ... so the full RL loop runs in CI')."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dgvit_tpu.config import Config
+from dgvit_tpu.envs import KinematicNavEnv
+from dgvit_tpu.train.demo_record import record_episodes, scripted_pilot
+from dgvit_tpu.train.train_rl import train
+from dgvit_tpu.train.train_bc import load_bc_dataset
+
+
+def tiny_cfg(tmp, episodes=3):
+    return Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 256},
+        "env": {"max_steps": 12, "max_episodes": episodes},
+        "train": {"pre_buffer": False, "plot_interval": 1000,
+                  "eval_threshold": 0, "reward_threshold": 1e9},
+    })
+
+
+def test_rl_training_loop_runs_end_to_end(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    env = KinematicNavEnv(seed=0, image_hw=(32, 40))
+    out = train(cfg, env, out_dir=str(tmp_path), max_episodes=3)
+    assert out["episodes"] >= 1
+    assert np.isfinite(out["max_mean_reward"])
+    # metrics JSONL written
+    assert list(tmp_path.glob("train_*.jsonl"))
+    # final full-state checkpoint + actor export exist (t.save default True)
+    assert list((tmp_path / "checkpoints").glob("step_*"))
+    assert list((tmp_path / "models").glob("*_actor.npz"))
+    assert (tmp_path / "training_data.txt").exists()
+
+
+def test_rl_training_with_expert_buffer(tmp_path):
+    # record scripted demos first, then train with guidance
+    env = KinematicNavEnv(seed=1, image_hw=(32, 40))
+    paths = record_episodes(env, scripted_pilot, str(tmp_path / "Data"),
+                            episodes=2, max_steps=15)
+    assert paths
+    cfg = tiny_cfg(tmp_path)
+    cfg.train.pre_buffer = True
+    env2 = KinematicNavEnv(seed=2, image_hw=(32, 40))
+    out = train(cfg, env2, out_dir=str(tmp_path / "r2"),
+                expert_glob=str(tmp_path / "Data" / "RRC" / "jax" / "*.npz"),
+                max_episodes=2)
+    assert out["episodes"] >= 1
+
+
+def test_demo_recorder_reference_layout(tmp_path):
+    env = KinematicNavEnv(seed=3, image_hw=(32, 40))
+    paths = record_episodes(env, scripted_pilot, str(tmp_path),
+                            episodes=1, max_steps=20)
+    d = np.load(paths[0])
+    assert set(d.files) == {"obs", "act", "goal", "reward", "next_obs",
+                            "next_goal", "done"}
+    n = d["obs"].shape[0]
+    assert d["obs"].shape == (n, 32, 40)       # squeezed (H,W,1)->(H,W)
+    assert d["act"].shape == (n, 2)
+    assert d["goal"].shape == (n, 4)
+    assert d["done"].dtype == bool
+    # no zero actions recorded (demonstration.py:269-270)
+    assert (np.abs(d["act"]).sum(1) > 0).all()
+
+
+def test_bc_dataset_loader_and_fit(tmp_path):
+    env = KinematicNavEnv(seed=4, image_hw=(32, 40))
+    record_episodes(env, scripted_pilot, str(tmp_path), episodes=2,
+                    max_steps=20)
+    obs, act, goal = load_bc_dataset(str(tmp_path / "RRC" / "jax" / "*.npz"))
+    assert obs.shape[0] == act.shape[0] == goal.shape[0]
+
+    from dgvit_tpu.agents.bc import BCTrainer
+    from dgvit_tpu.models.policies import GoTPolicy
+
+    model = GoTPolicy(block=1, head=2, l_f_size=32, mlp_dim=64,
+                      image_size=(32, 40), patch_size=(16, 20),
+                      final_norm="layer", emb_dropout=0.0)
+    tr = BCTrainer(model=model, batch_size=4, seed=1)
+    # single-frame (H, W) obs: feed as-is (no channel transpose)
+    best, hist = tr.fit(obs, goal, act, epochs=2, to_chw=False)
+    assert np.isfinite(hist["train"][-1])
+
+
+def test_evaluate_driver(tmp_path):
+    import jax
+
+    from dgvit_tpu.core import checkpoint as ckpt
+    from dgvit_tpu.models import build_actor
+    from dgvit_tpu.train.evaluate import run_eval
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.env.max_steps = 10
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(0), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    env = KinematicNavEnv(seed=5, image_hw=(32, 40))
+    out = run_eval(cfg, env, params, max_episodes=2, out_dir=str(tmp_path))
+    assert "success_rate" in out
+    assert (tmp_path / "testing_data.txt").exists()
