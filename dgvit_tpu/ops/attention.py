@@ -146,7 +146,14 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "xla"
+        # Measured on v5e (GoT dim 64, 65 tokens): XLA's fused attention beats
+        # the Pallas kernel 68k vs 42k frames/s because lane/token padding
+        # (65->128, 64->128) costs more than kernel fusion saves at this size.
+        # The Pallas path wins once real tiles fill the MXU — long token
+        # streams / larger dim_head — so dispatch on shape.
+        n, d = q.shape[-2], q.shape[-1]
+        use_pallas = _on_tpu() and (n > 128 or d > 128)
+        impl = "pallas" if use_pallas else "xla"
     if impl == "xla":
         return _attention_xla(q, k, v, scale)
     if impl == "pallas":
