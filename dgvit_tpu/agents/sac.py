@@ -73,6 +73,7 @@ class SACAgent:
         self.auto_tune = bool(s.auto_tune_alpha)
         self.fixed_alpha = float(s.alpha)
         self.done_mask = bool(s.done_mask_in_target)
+        self.nan_guard = bool(getattr(s, "nan_guard", False))
         self.guidence_weight = float(s.guidence_weight)
         self.engage_weight = float(s.engage_weight)
         self.deterministic_actor = cfg.model.actor_type.startswith("Deterministic")
@@ -272,6 +273,7 @@ class SACAgent:
 
     def _train_step_impl(self, state: SACTrainState, batch
                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
+        prev = state
         key = jax.random.fold_in(state.rng, state.itera)
         k_tgt, k_crit, k_act = jax.random.split(key, 3)
         alpha = self._alpha_of(state)
@@ -286,6 +288,14 @@ class SACAgent:
             "policy_loss": policy_loss, "alpha_loss": alpha_loss,
             "alpha": alpha, "entropy": -jnp.mean(log_pi),
         }
+        if self.nan_guard:
+            ok = jnp.logical_and(
+                jnp.isfinite(qf1_loss + qf2_loss), jnp.isfinite(policy_loss))
+            rolled = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), state, prev)
+            # the step counter always advances so RNG/polyak cadence move on
+            state = rolled.replace(itera=state.itera)
+            metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return state, metrics
 
     def learn(self, state: SACTrainState, batch) -> Tuple[SACTrainState, Dict]:

@@ -85,6 +85,10 @@ class SACConfig:
     # DRL.py constructs PrioritizedReplayBuffer but samples uniformly and never
     # updates priorities (:365-368 commented out). True enables real PER.
     prioritized_replay: bool = False
+    # Failure detection the reference lacks (SURVEY.md §5): when True, an
+    # update producing non-finite losses is discarded (params/opt/alpha roll
+    # back; the step counter still advances) instead of poisoning training.
+    nan_guard: bool = False
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0

@@ -103,6 +103,8 @@ class GazeboRos2Env:
             img = np.frombuffer(msg.data, np.uint16).reshape(h, w)
         else:  # mono8
             img = np.frombuffer(msg.data, np.uint8).reshape(h, w)
+        if not img.any():  # all-zero frame detection (env_lab.py:435-436)
+            self.node.get_logger().error("Image null!")
         self._last_image = img
 
     # -- physics stepping -----------------------------------------------------

@@ -179,3 +179,25 @@ def test_deterministic_actor_config():
     new_state, metrics = agent.learn(state, batch)
     assert np.isfinite(float(metrics["policy_loss"]))
     assert float(metrics["alpha"]) == 0.0
+
+
+def test_nan_guard_rolls_back_bad_update():
+    """Failure detection (SURVEY.md §5): a batch that produces non-finite
+    losses must not change params when nan_guard is on."""
+    agent = SACAgent(tiny_cfg(nan_guard=True))
+    state = agent.init_state(11)
+    before = jax.tree_util.tree_map(np.asarray, state.actor_params)
+    batch = make_batch(jax.random.PRNGKey(9))
+    batch["rew"] = jnp.full((B, 1), jnp.nan)
+    new_state, metrics = agent.learn(state, batch)
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    after = jax.tree_util.tree_map(np.asarray, new_state.actor_params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(new_state.itera) == 1  # counter still advances
+
+    # and a healthy batch still updates
+    good = make_batch(jax.random.PRNGKey(10))
+    s2, m2 = agent.learn(new_state, good)
+    assert float(m2["skipped_nonfinite"]) == 0.0
