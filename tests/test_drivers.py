@@ -106,3 +106,29 @@ def test_evaluate_driver(tmp_path):
     out = run_eval(cfg, env, params, max_episodes=2, out_dir=str(tmp_path))
     assert "success_rate" in out
     assert (tmp_path / "testing_data.txt").exists()
+
+
+def test_offline_training_from_demos(tmp_path):
+    """BASELINE config #5: replay sample -> augment -> update, Gazebo-free."""
+    from dgvit_tpu.train.train_offline import (
+        fill_buffer_from_demos, train_offline)
+
+    n = 16
+    rng = np.random.default_rng(0)
+    data = {
+        "obs": rng.random((n, 32, 40), np.float32),
+        "act": rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+        "goal": rng.random((n, 4), np.float32),
+        "reward": rng.random(n).astype(np.float32),
+        "next_obs": rng.random((n, 32, 40), np.float32),
+        "next_goal": rng.random((n, 4), np.float32),
+        "done": np.zeros(n, bool),
+    }
+    cfg = tiny_cfg(tmp_path)
+    buf = fill_buffer_from_demos(data, cfg)
+    assert buf.get_stored_size() == n
+    state, stats = train_offline(cfg, buf, steps=5, out_dir=str(tmp_path),
+                                 augment_sigma=50.0, log_every=2)
+    assert stats["steps_per_sec"] > 0
+    assert np.isfinite(stats["final"]["policy_loss"])
+    assert int(state.itera) == 5
