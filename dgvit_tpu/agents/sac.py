@@ -374,3 +374,41 @@ class SACAgent:
             return batch_size
         return int(min(np.floor(exp_buffer_size / agent_buffer_size * batch_size),
                        batch_size))
+
+    # ------------------------------------------------------------------
+    # checkpoint conveniences mirroring the DRL.py API surface
+    # ------------------------------------------------------------------
+    def save(self, state: SACTrainState, filename: str, directory: str,
+             reward: float, seed: int, nb_col: int = 100):
+        """DRL.py:489-491 metric-encoded actor+critic export."""
+        from dgvit_tpu.core import checkpoint as ckpt
+
+        name = ckpt.reference_name(filename, reward, seed, nb_col)
+        a = ckpt.save_params_npz(directory, name,
+                                 jax.tree_util.tree_map(np.asarray,
+                                                        state.actor_params),
+                                 kind="actor")
+        c = ckpt.save_params_npz(directory, name,
+                                 jax.tree_util.tree_map(np.asarray,
+                                                        state.critic_params),
+                                 kind="critic")
+        return a, c
+
+    def load(self, state: SACTrainState, filename: str, directory: str,
+             actor_only: bool = False) -> SACTrainState:
+        """DRL.py:493-503 load/load_actor."""
+        from dgvit_tpu.core import checkpoint as ckpt
+
+        actor = ckpt.load_params_npz(f"{directory}/{filename}_actor.npz",
+                                     state.actor_params)
+        state = state.replace(actor_params=actor)
+        if not actor_only:
+            critic = ckpt.load_params_npz(f"{directory}/{filename}_critic.npz",
+                                          state.critic_params)
+            state = state.replace(critic_params=critic)
+        return state
+
+    def load_target(self, state: SACTrainState) -> SACTrainState:
+        """DRL.py:499-500 hard_update(critic_target, critic)."""
+        return state.replace(critic_target_params=jax.tree_util.tree_map(
+            jnp.copy, state.critic_params))

@@ -45,6 +45,15 @@ def attention_probs(q: jax.Array, k: jax.Array, scale: float) -> jax.Array:
     return jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1)
 
 
+def reduce_attn(attn: jax.Array, reduction: float = 0.1,
+                threshold: float = 0.5) -> jax.Array:
+    """Attention-redistribution experiment helper (GoalFormer.py:21-26,
+    unused by the reference main path): damp weights above `threshold` by
+    `reduction` and renormalize rows."""
+    damped = jnp.where(attn > threshold, attn * (1.0 - reduction), attn)
+    return damped / jnp.sum(damped, axis=-1, keepdims=True)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, bb: int):
     """One program: `bb` (batch*head) slices of padded (Np, D) attention."""
     np_ = q_ref.shape[1]

@@ -201,3 +201,23 @@ def test_nan_guard_rolls_back_bad_update():
     good = make_batch(jax.random.PRNGKey(10))
     s2, m2 = agent.learn(new_state, good)
     assert float(m2["skipped_nonfinite"]) == 0.0
+
+
+def test_agent_save_load_reference_api(tmp_path):
+    """DRL.py:489-503 save/load/load_actor/load_target surface."""
+    agent = SACAgent(tiny_cfg())
+    s1 = agent.init_state(1)
+    a_path, c_path = agent.save(s1, "gtrl44", str(tmp_path), reward=100,
+                                seed=3407, nb_col=0)
+    assert "reward_100_nbCol_0_seed_3407" in a_path
+
+    s2 = agent.init_state(2)
+    s2 = agent.load(s2, "gtrl44_reward_100_nbCol_0_seed_3407", str(tmp_path))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.actor_params),
+                    jax.tree_util.tree_leaves(s2.actor_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # load_target: hard update
+    s2 = agent.load_target(s2)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.critic_params),
+                    jax.tree_util.tree_leaves(s2.critic_target_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
