@@ -109,3 +109,24 @@ def test_metrics_logger(tmp_path):
     assert c.append(3.0) == 2.0
     assert c.append(5.0) == 4.0
     assert c.max_mean == 4.0
+
+
+def test_reduce_attn_helper():
+    """GoalFormer.py:21-26 renormalized damping."""
+    from dgvit_tpu.ops.attention import reduce_attn
+
+    attn = jnp.asarray([[0.7, 0.2, 0.1], [0.3, 0.3, 0.4]])
+    out = np.asarray(reduce_attn(attn, reduction=0.1, threshold=0.5))
+    np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-6)
+    # the damped row redistributes mass away from the >0.5 entry
+    assert out[0, 0] < 0.7
+    np.testing.assert_allclose(out[1], [0.3, 0.3, 0.4], rtol=1e-6)
+
+
+def test_profiler_smoke(tmp_path):
+    from dgvit_tpu.utils.metrics import Profiler
+
+    with Profiler(str(tmp_path / "trace")):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import os
+    assert os.path.isdir(tmp_path / "trace")
