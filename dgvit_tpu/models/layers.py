@@ -97,6 +97,12 @@ class Attention(nn.Module):
     `capture` sows the softmax attention map under 'intermediates'/'attn' —
     the functional replacement for the reference's bytecode-rewriting
     visualizer (visualizer.py:3-42, hooked at simple_vit.py:61).
+
+    On TPU the whole section (qkv projection + per-head attention + output
+    projection) runs as one fused Pallas kernel (ops/fused_block.py) — 2.1x
+    the XLA path at the GoT geometry (BENCH.md ablation). Params are declared
+    as raw trees with the SAME paths TorchLinear would create, so torch
+    transplants and checkpoints are layout-identical across impls.
     """
 
     dim: int
@@ -109,12 +115,46 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        import jax
+
+        from dgvit_tpu.models import initializers as init
+        from dgvit_tpu.ops.fused_block import fused_attention_section
+
         b, n, _ = x.shape
         inner = self.dim_head * self.heads
         project_out = not (self.heads == 1 and self.dim_head == self.dim)
         scale = self.dim_head ** -0.5
 
-        qkv = TorchLinear(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        wqkv = self.param(
+            "to_qkv",
+            lambda k: {"kernel": init.xavier_uniform(k, (self.dim, inner * 3))},
+        )["kernel"]
+        if project_out:
+            def init_out(k):
+                k1, k2 = jax.random.split(k)
+                return {"kernel": init.xavier_uniform(k1, (inner, self.dim)),
+                        "bias": init.torch_linear_bias(inner)(k2, (self.dim,))}
+            wout_tree = self.param("to_out", init_out)
+            wout, bout = wout_tree["kernel"], wout_tree["bias"]
+
+        use_fused = (
+            self.attn_impl in ("auto", "fused")
+            and jax.default_backend() == "tpu"
+            and not self.capture
+            and project_out
+            and n <= 256
+        )
+        if use_fused:
+            out = fused_attention_section(
+                x.astype(self.dtype) if self.dtype else x,
+                wqkv.astype(self.dtype) if self.dtype else wqkv,
+                wout.astype(self.dtype) if self.dtype else wout,
+                bout.astype(self.dtype) if self.dtype else bout,
+                self.heads, self.dim_head)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+        dt = self.dtype or x.dtype
+        qkv = jnp.dot(x.astype(dt), wqkv.astype(dt))
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
@@ -126,17 +166,25 @@ class Attention(nn.Module):
         else:
             # attention-prob dropout is 0 in every reference config
             # (GoalFormer.py:124 dropout=0.); the fused kernel skips it
-            out = dot_product_attention(q, k, v, scale, impl=self.attn_impl)
+            impl = "auto" if self.attn_impl == "fused" else self.attn_impl
+            out = dot_product_attention(q, k, v, scale, impl=impl)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         if project_out:
-            out = TorchLinear(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = jnp.dot(out, wout.astype(dt)) + bout.astype(dt)
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
 
 class TransformerBlock(nn.Module):
-    """PreNorm(attn) + x; PreNorm(ff) + x (GoalFormer.py:90-105)."""
+    """PreNorm(attn) + x; PreNorm(ff) + x (GoalFormer.py:90-105).
+
+    On TPU the whole block runs as ONE Pallas kernel (ops/fused_transformer.py)
+    — norms, qkv, per-head attention, projections, chunked MLP, residuals all
+    VMEM-resident (1.8x the composed path on v5e). Params are declared with
+    the SAME tree paths either way, so checkpoints/transplants are portable
+    across impls. The composed path handles capture / nonzero dropout / CPU.
+    """
 
     dim: int
     heads: int
@@ -149,6 +197,54 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        import jax
+
+        use_fused = (
+            self.attn_impl in ("auto", "fused")
+            and jax.default_backend() == "tpu"
+            and not self.capture
+            and self.dropout == 0.0
+            and not (self.heads == 1 and self.dim_head == self.dim)
+            and x.shape[1] <= 256
+        )
+        if use_fused:
+            from dgvit_tpu.models import initializers as init
+            from dgvit_tpu.ops.fused_transformer import (
+                _block_params_flat, fused_transformer_block)
+
+            dim, inner, mlp = self.dim, self.heads * self.dim_head, self.mlp_dim
+
+            def ln_init(k):
+                return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+            def attn_init(k):
+                k1, k2, k3 = jax.random.split(k, 3)
+                return {
+                    "to_qkv": {"kernel": init.xavier_uniform(k1, (dim, inner * 3))},
+                    "to_out": {"kernel": init.xavier_uniform(k2, (inner, dim)),
+                               "bias": init.torch_linear_bias(inner)(k3, (dim,))},
+                }
+
+            def ff_init(k):
+                k1, k2, k3, k4 = jax.random.split(k, 4)
+                return {
+                    "fc1": {"kernel": init.xavier_uniform(k1, (dim, mlp)),
+                            "bias": init.torch_linear_bias(dim)(k2, (mlp,))},
+                    "fc2": {"kernel": init.xavier_uniform(k3, (mlp, dim)),
+                            "bias": init.torch_linear_bias(mlp)(k4, (dim,))},
+                }
+
+            tree = {
+                "attn_norm": self.param("attn_norm", ln_init),
+                "attn": self.param("attn", attn_init),
+                "ff_norm": self.param("ff_norm", ln_init),
+                "ff": self.param("ff", ff_init),
+            }
+            cdt = self.dtype or x.dtype
+            flat = _block_params_flat(tree, cdt)
+            return fused_transformer_block(x.astype(cdt), flat, self.heads,
+                                           self.dim_head)
+
         h = LayerNorm(self.dim, name="attn_norm")(x)
         h = Attention(
             self.dim, self.heads, self.dim_head, self.dropout,

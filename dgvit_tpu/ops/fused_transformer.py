@@ -1,0 +1,224 @@
+"""Fully-fused transformer block Pallas kernel (GoT geometry).
+
+One kernel program = one tile of frames through a COMPLETE pre-norm block
+(GoalFormer.py:90-105): LN -> qkv -> per-head attention -> out-proj ->
+residual -> LN -> MLP(gelu) -> residual. The residual stream stays in VMEM
+for the whole block: 2 HBM touches of the activations per block instead of
+the ~10 op-boundary round trips of the unfused path. Norm statistics and
+softmax run fp32; matmul operands stay in the input dtype (bf16 -> full-rate
+MXU with fp32 accumulation).
+
+Differentiable via custom_vjp (backward recomputes through the XLA twin).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _erf32(x):
+    """Abramowitz-Stegun 7.1.26 erf, |err| < 1.5e-7 (fp32-exact); Mosaic has
+    no erf/erfc primitive, only exp."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln(x32, scale, bias, eps=1e-5):
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    v = jnp.mean(jnp.square(x32 - m), axis=-1, keepdims=True)
+    return (x32 - m) * jax.lax.rsqrt(v + eps) * scale + bias
+
+
+def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
+                  fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  *, n_valid: int, heads: int, dim_head: int, tb: int,
+                  scale: float):
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    inner = heads * dim_head
+    cdt = x_ref.dtype
+
+    x32 = x_ref[...].reshape(tb * np_, d).astype(jnp.float32)
+
+    # --- pre-norm attention -------------------------------------------------
+    h = _ln(x32, an_s_ref[...].astype(jnp.float32),
+            an_b_ref[...].astype(jnp.float32)).astype(cdt)
+    qkv = jnp.dot(h, wqkv_ref[...],
+                  preferred_element_type=jnp.float32).astype(cdt)
+
+    neg = jnp.finfo(jnp.float32).min
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
+    mask = col < n_valid
+
+    outs = []
+    for f in range(tb):
+        row0 = f * np_
+        frame = jax.lax.slice(qkv, (row0, 0), (row0 + np_, 3 * inner))
+        head_outs = []
+        for hd in range(heads):
+            q = jax.lax.slice(frame, (0, hd * dim_head),
+                              (np_, (hd + 1) * dim_head))
+            k = jax.lax.slice(frame, (0, inner + hd * dim_head),
+                              (np_, inner + (hd + 1) * dim_head))
+            v = jax.lax.slice(frame, (0, 2 * inner + hd * dim_head),
+                              (np_, 2 * inner + (hd + 1) * dim_head))
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(mask, s, neg)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+            head_outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
+                             .astype(cdt))
+        outs.append(jnp.concatenate(head_outs, axis=1))
+    o = jnp.concatenate(outs, axis=0)
+    attn_out = jnp.dot(o, wout_ref[...], preferred_element_type=jnp.float32) \
+        + bout_ref[...].astype(jnp.float32)
+    x32 = x32 + attn_out
+
+    # --- pre-norm MLP ---------------------------------------------------------
+    h = _ln(x32, fn_s_ref[...].astype(jnp.float32),
+            fn_b_ref[...].astype(jnp.float32)).astype(cdt)
+    # MLP with the hidden dim chunked so the (rows, mlp_dim) activation never
+    # materializes (VMEM budget); gelu is the fp32-exact erf polynomial above
+    mlp_dim = w1_ref.shape[1]
+    chunk = min(mlp_dim, 512)
+    mlp_out = b2_ref[...].astype(jnp.float32)
+    for c0 in range(0, mlp_dim, chunk):
+        w1c = w1_ref[:, c0:c0 + chunk]
+        b1c = b1_ref[:, c0:c0 + chunk]
+        w2c = w2_ref[c0:c0 + chunk, :]
+        hid = jnp.dot(h, w1c, preferred_element_type=jnp.float32) \
+            + b1c.astype(jnp.float32)
+        hid = (0.5 * hid * (1.0 + _erf32(hid * np.float32(0.7071067811865476)))
+               ).astype(cdt)
+        mlp_out = mlp_out + jnp.dot(hid, w2c,
+                                    preferred_element_type=jnp.float32)
+    x32 = x32 + mlp_out
+
+    o_ref[...] = x32.reshape(tb, np_, d).astype(o_ref.dtype)
+
+
+def _block_params_flat(params: Dict[str, Any], dtype):
+    """Flatten a TransformerBlock param tree (models/layers.py paths) into
+    the kernel argument order."""
+    c = lambda a: jnp.asarray(a, dtype)
+    return (
+        c(params["attn_norm"]["scale"]).reshape(1, -1),
+        c(params["attn_norm"]["bias"]).reshape(1, -1),
+        c(params["attn"]["to_qkv"]["kernel"]),
+        c(params["attn"]["to_out"]["kernel"]),
+        c(params["attn"]["to_out"]["bias"]).reshape(1, -1),
+        c(params["ff_norm"]["scale"]).reshape(1, -1),
+        c(params["ff_norm"]["bias"]).reshape(1, -1),
+        c(params["ff"]["fc1"]["kernel"]),
+        c(params["ff"]["fc1"]["bias"]).reshape(1, -1),
+        c(params["ff"]["fc2"]["kernel"]),
+        c(params["ff"]["fc2"]["bias"]).reshape(1, -1),
+    )
+
+
+def _fused_block_fwd_impl(x, flat, *, heads: int, dim_head: int,
+                          interpret: bool = False):
+    b, n, d = x.shape
+    inner = heads * dim_head
+    mlp_dim = flat[7].shape[1]
+    np_ = _round_up(n, 8)
+    xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+    tb = 8
+    while b % tb != 0:
+        tb //= 2
+    kern = functools.partial(_block_kernel, n_valid=n, heads=heads,
+                             dim_head=dim_head, tb=tb,
+                             scale=dim_head ** -0.5)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, np_, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((1, d)), full((1, d)),                  # attn norm
+            full((d, 3 * inner)), full((inner, d)), full((1, d)),  # attn
+            full((1, d)), full((1, d)),                  # ff norm
+            full((d, mlp_dim)), full((1, mlp_dim)),      # fc1
+            full((mlp_dim, d)), full((1, d)),            # fc2
+        ],
+        out_specs=pl.BlockSpec((tb, np_, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * np_ * (2 * d * 3 * inner + 4 * heads * np_ * dim_head
+                             + 2 * inner * d + 4 * d * mlp_dim),
+            bytes_accessed=2 * b * np_ * d * 4,
+            transcendentals=b * np_ * (heads * np_ + mlp_dim),
+        ),
+        interpret=interpret,
+    )(xp, *flat)
+    return out[:, :n, :]
+
+
+def _block_xla(x, flat, *, heads: int, dim_head: int):
+    """Reference twin (identical math, unfused) for the backward pass."""
+    (an_s, an_b, wqkv, wout, bout, fn_s, fn_b, w1, b1, w2, b2) = flat
+    b, n, d = x.shape
+    inner = heads * dim_head
+    x32 = x.astype(jnp.float32)
+    h = _ln(x32, an_s.reshape(-1).astype(jnp.float32),
+            an_b.reshape(-1).astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.dot(h, wqkv).reshape(b, n, 3, heads, dim_head)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * dim_head ** -0.5
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, inner)
+    x32 = x32 + (jnp.dot(o, wout) + bout.reshape(-1)).astype(jnp.float32)
+    h = _ln(x32, fn_s.reshape(-1).astype(jnp.float32),
+            fn_b.reshape(-1).astype(jnp.float32)).astype(x.dtype)
+    hid = jax.nn.gelu((jnp.dot(h, w1) + b1.reshape(-1)).astype(jnp.float32),
+                      approximate=False).astype(x.dtype)
+    x32 = x32 + (jnp.dot(hid, w2) + b2.reshape(-1)).astype(jnp.float32)
+    return x32.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_transformer_block(x, flat, heads: int, dim_head: int,
+                            interpret: bool = False):
+    return _fused_block_fwd_impl(x, flat, heads=heads, dim_head=dim_head,
+                                 interpret=interpret)
+
+
+def _fwd(x, flat, heads, dim_head, interpret):
+    y = _fused_block_fwd_impl(x, flat, heads=heads, dim_head=dim_head,
+                              interpret=interpret)
+    return y, (x, flat)
+
+
+def _bwd(heads, dim_head, interpret, res, g):
+    x, flat = res
+    _, vjp = jax.vjp(
+        lambda x, f: _block_xla(x, f, heads=heads, dim_head=dim_head), x, flat)
+    return vjp(g)
+
+
+fused_transformer_block.defvjp(_fwd, _bwd)
