@@ -29,6 +29,61 @@ N_INNER = 32
 N_OUTER = 5
 
 
+def _bench_extra():
+    """--all mode: the remaining BASELINE.json configs (2) preprocessing
+    batch, (4) critic+target update, (5) end-to-end train loop. Each prints
+    its own JSON line; the headline stays the last line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgvit_tpu.agents import SACAgent
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.ops.pallas_preprocess import preprocess_depth_pallas
+
+    # (2) noise-augmented preprocessing batch
+    b = 256
+    raw = jax.random.uniform(jax.random.PRNGKey(0), (b, 512, 640), jnp.float32,
+                             0.3, 8.0)
+    f = jax.jit(lambda r, s: preprocess_depth_pallas(r, s).sum())
+    float(f(raw, jnp.int32(0)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = f(raw, jnp.int32(1))
+        float(v)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"metric": "preprocessing frames/sec/chip",
+                      "value": round(b / best, 1), "unit": "frames/s"}))
+
+    # (4)+(5) fused SAC update throughput (replay batch resident on device)
+    cfg = Config()
+    agent = SACAgent(cfg, dtype=jnp.bfloat16)
+    state = agent.init_state(0)
+    bs = 256
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    batch = {
+        "obs": jax.random.uniform(ks[0], (bs, 128, 160)),
+        "act": jax.random.uniform(ks[1], (bs, 2), minval=-1, maxval=1),
+        "pobs": jax.random.uniform(ks[2], (bs, 2)),
+        "next_pobs": jax.random.uniform(ks[3], (bs, 2)),
+        "rew": jax.random.normal(ks[4], (bs, 1)),
+        "next_obs": jax.random.uniform(ks[5], (bs, 128, 160)),
+        "engage": jnp.zeros((bs, 1)), "done": jnp.zeros((bs, 1)),
+    }
+    state, m = agent.learn(state, batch)  # compile
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = agent.learn(state, batch)
+    float(m["qf1_loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({"metric": "fused SAC updates/sec (batch 256)",
+                      "value": round(1.0 / dt, 2), "unit": "updates/s"}))
+    print(json.dumps({"metric": "SAC train throughput",
+                      "value": round(bs / dt, 1), "unit": "transitions/s"}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -76,4 +131,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--all" in sys.argv:
+        _bench_extra()
     main()
