@@ -41,20 +41,28 @@ def _bench_extra():
     from dgvit_tpu.config import Config
     from dgvit_tpu.ops.pallas_preprocess import preprocess_depth_pallas
 
-    # (2) noise-augmented preprocessing batch
-    b = 256
+    # (2) noise-augmented preprocessing batch — n_inner chained in ONE
+    # dispatch so tunnel RTT amortizes (see headline methodology)
+    b, n_in = 256, 8
     raw = jax.random.uniform(jax.random.PRNGKey(0), (b, 512, 640), jnp.float32,
                              0.3, 8.0)
-    f = jax.jit(lambda r, s: preprocess_depth_pallas(r, s).sum())
-    float(f(raw, jnp.int32(0)))
+
+    @jax.jit
+    def pp_loop(raw):
+        def body(carry, i):
+            out = preprocess_depth_pallas(raw + carry, i)
+            return out.sum() * 0.0, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_in))
+        return c
+
+    float(pp_loop(raw))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        v = f(raw, jnp.int32(1))
-        float(v)
+        float(pp_loop(raw))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({"metric": "preprocessing frames/sec/chip",
-                      "value": round(b / best, 1), "unit": "frames/s"}))
+                      "value": round(b * n_in / best, 1), "unit": "frames/s"}))
 
     # (4)+(5) fused SAC update throughput (replay batch resident on device)
     cfg = Config()
@@ -71,17 +79,46 @@ def _bench_extra():
         "next_obs": jax.random.uniform(ks[5], (bs, 128, 160)),
         "engage": jnp.zeros((bs, 1)), "done": jnp.zeros((bs, 1)),
     }
-    state, m = agent.learn(state, batch)  # compile
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, m = agent.learn(state, batch)
-    float(m["qf1_loss"])
-    dt = (time.perf_counter() - t0) / n
+    n = 10
+
+    @jax.jit
+    def sac_loop(state, batch):
+        def body(s, _):
+            s, m = agent._train_step_impl(s, batch)
+            return s, m["qf1_loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n)
+        return s, losses.sum()
+
+    state, v = sac_loop(state, batch)  # compile
+    float(v)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, v = sac_loop(state, batch)
+        float(v)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / n
     print(json.dumps({"metric": "fused SAC updates/sec (batch 256)",
                       "value": round(1.0 / dt, 2), "unit": "updates/s"}))
     print(json.dumps({"metric": "SAC train throughput",
                       "value": round(bs / dt, 1), "unit": "transitions/s"}))
+
+    # p50 single-frame action latency (BASELINE.md 'tracked per config');
+    # on a tunneled backend this is dominated by dispatch RTT — the on-chip
+    # compute is microseconds (see headline throughput)
+    obs1 = jnp.zeros((128, 160))
+    goal1 = jnp.zeros((2,))
+    key = jax.random.PRNGKey(2)
+    a = agent.choose_action(state, obs1, goal1, key, evaluate=True)
+    np.asarray(a)
+    lats = []
+    for _ in range(21):
+        t0 = time.perf_counter()
+        np.asarray(agent.choose_action(state, obs1, goal1, key, evaluate=True))
+        lats.append(time.perf_counter() - t0)
+    print(json.dumps({"metric": "p50 single-frame action latency",
+                      "value": round(sorted(lats)[len(lats) // 2] * 1e3, 3),
+                      "unit": "ms"}))
 
 
 def main():
