@@ -87,6 +87,7 @@ class SACAgent:
         self.alpha_tx = optax.adam(s.lr_alpha, eps=1e-8)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._per_step = jax.jit(self._per_step_impl, donate_argnums=(0,))
         self._guided_step = jax.jit(self._guided_step_impl, donate_argnums=(0,))
         self._act = jax.jit(self._act_impl, static_argnames=("evaluate", "dropout"))
 
@@ -301,6 +302,49 @@ class SACAgent:
     def learn(self, state: SACTrainState, batch) -> Tuple[SACTrainState, Dict]:
         """One fused SAC update (DRL.py:373-437)."""
         return self._train_step(state, batch)
+
+    # ------------------------------------------------------------------
+    # PER update — the path the reference stubs out (DRL.py:365-368)
+    # ------------------------------------------------------------------
+    def _per_step_impl(self, state: SACTrainState, batch, is_weights):
+        """Importance-weighted critic loss + per-sample TD errors returned
+        for priority updates."""
+        prev = state
+        key = jax.random.fold_in(state.rng, state.itera)
+        k_tgt, k_crit, k_act = jax.random.split(key, 3)
+        alpha = self._alpha_of(state)
+        target = self._td_target(state, alpha, batch, k_tgt)
+
+        def loss_fn(cp):
+            q1, q2 = self._apply_critic(cp, batch["obs"], batch["pobs"],
+                                        batch["act"], dropout_key=k_crit)
+            td = jnp.abs(q1 - target).mean(axis=1)  # per-sample TD error
+            w = is_weights.reshape(-1, 1)
+            l1 = jnp.mean(w * jnp.square(q1 - target))
+            l2 = jnp.mean(w * jnp.square(q2 - target))
+            return l1 + l2, (l1, l2, td)
+
+        (qf_loss, (qf1_loss, qf2_loss, td)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.critic_params)
+        updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
+                                                 state.critic_params)
+        state = state.replace(
+            critic_params=optax.apply_updates(state.critic_params, updates),
+            critic_opt=new_opt)
+
+        state, policy_loss, log_pi = self._actor_update(state, alpha, batch,
+                                                        k_act)
+        state, alpha_loss = self._alpha_update(state, log_pi)
+        state = self._polyak(state)
+        metrics = {"qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
+                   "policy_loss": policy_loss, "alpha_loss": alpha_loss,
+                   "alpha": alpha}
+        return state, metrics, td
+
+    def learn_per(self, state: SACTrainState, batch, is_weights):
+        """PER update: pass cpprb-style importance weights, receive TD errors
+        to feed PrioritizedReplayBuffer.update_priorities."""
+        return self._per_step(state, batch, jnp.asarray(is_weights, jnp.float32))
 
     # ------------------------------------------------------------------
     # guided update (DRL.py learn_guidence)

@@ -74,13 +74,23 @@ def train_offline(cfg: Config, buf, steps: int = 1000,
     else:
         learn = agent._train_step
 
+    use_per = bool(cfg.sac.prioritized_replay) and buf.prioritized \
+        and augment_sigma == 0.0
     pf = BatchPrefetcher(lambda: buf.sample(b), depth=prefetch_depth)
     t0 = time.time()
     metrics = {}
     try:
         for step in range(steps):
             batch = next(pf)
-            state, metrics = learn(state, batch)
+            if use_per:
+                idx = np.asarray(batch.pop("indexes"))
+                w = batch.pop("weights")
+                state, metrics, td = agent.learn_per(state, batch, w)
+                buf.update_priorities(idx, np.asarray(td) + 1e-6)
+            else:
+                batch.pop("weights", None)
+                batch.pop("indexes", None)
+                state, metrics = learn(state, batch)
             if (step + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["steps_per_sec"] = (step + 1) / (time.time() - t0)

@@ -221,3 +221,47 @@ def test_agent_save_load_reference_api(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s2.critic_params),
                     jax.tree_util.tree_leaves(s2.critic_target_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_update_returns_td_errors_and_weights_matter():
+    """Real PER path (the reference stubs it out, DRL.py:365-368): IS weights
+    scale the critic loss; per-sample TD errors come back for priority
+    updates."""
+    agent = SACAgent(tiny_cfg(prioritized_replay=True))
+    state = agent.init_state(21)
+    batch = make_batch(jax.random.PRNGKey(20))
+    w_uniform = jnp.ones((B,))
+    s1, m1, td = agent.learn_per(state, batch, w_uniform)
+    assert td.shape == (B,)
+    assert bool(jnp.all(td >= 0))
+    # uniform-weight PER critic loss == plain learn critic loss
+    state2 = agent.init_state(21)
+    s2, m2 = agent.learn(state2, batch)
+    np.testing.assert_allclose(float(m1["qf1_loss"]), float(m2["qf1_loss"]),
+                               rtol=1e-5)
+    # non-uniform weights change the loss
+    state3 = agent.init_state(21)
+    w = jnp.linspace(0.1, 2.0, B)
+    s3, m3, _ = agent.learn_per(state3, batch, w)
+    assert float(m3["qf1_loss"]) != pytest.approx(float(m1["qf1_loss"]), rel=1e-6)
+
+
+def test_offline_per_training(tmp_path):
+    from dgvit_tpu.train.train_offline import (
+        fill_buffer_from_demos, train_offline)
+
+    n = 16
+    rng = np.random.default_rng(2)
+    data = {
+        "obs": rng.random((n, IH, IW), np.float32),
+        "act": rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+        "goal": rng.random((n, 4), np.float32),
+        "reward": rng.random(n).astype(np.float32),
+        "next_obs": rng.random((n, IH, IW), np.float32),
+        "next_goal": rng.random((n, 4), np.float32),
+        "done": np.zeros(n, bool),
+    }
+    cfg = tiny_cfg(prioritized_replay=True)
+    buf = fill_buffer_from_demos(data, cfg)
+    state, stats = train_offline(cfg, buf, steps=3, out_dir=str(tmp_path))
+    assert np.isfinite(stats["final"]["policy_loss"])
