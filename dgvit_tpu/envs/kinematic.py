@@ -33,45 +33,41 @@ BOXES: List[Tuple[float, float, float, float]] = [
 ARENA = (-5.5, 5.5, -3.6, 4.1)  # outer walls
 
 
-def _ray_box_distance(px, py, dx, dy, box) -> float:
-    """Distance along (dx,dy) from (px,py) to AABB `box`, inf if missed."""
-    x0, x1, y0, y1 = box
-    tmin, tmax = 0.0, np.inf
-    for p, d, lo, hi in ((px, dx, x0, x1), (py, dy, y0, y1)):
-        if abs(d) < 1e-12:
-            if p < lo or p > hi:
-                return np.inf
-        else:
-            t1, t2 = (lo - p) / d, (hi - p) / d
-            if t1 > t2:
-                t1, t2 = t2, t1
-            tmin, tmax = max(tmin, t1), min(tmax, t2)
-            if tmin > tmax:
-                return np.inf
-    return tmin if tmin >= 0 else np.inf
+_BOXES_ARR = np.asarray(BOXES, np.float64)  # (nb, 4): x0 x1 y0 y1
 
 
 def _ray_distances(px: float, py: float, bearings: np.ndarray,
                    max_range: float) -> np.ndarray:
-    """Min distance per bearing to any box or arena wall."""
-    out = np.full(bearings.shape, max_range, np.float64)
-    dxs, dys = np.cos(bearings), np.sin(bearings)
+    """Min distance per bearing to any box or arena wall (vectorized
+    slab-method ray/AABB over all rays x boxes at once)."""
+    dx = np.cos(bearings)[:, None]          # (nr, 1)
+    dy = np.sin(bearings)[:, None]
+    eps = 1e-12
+    inv_dx = 1.0 / np.where(np.abs(dx) < eps, eps, dx)
+    inv_dy = 1.0 / np.where(np.abs(dy) < eps, eps, dy)
+    x0, x1 = _BOXES_ARR[None, :, 0], _BOXES_ARR[None, :, 1]
+    y0, y1 = _BOXES_ARR[None, :, 2], _BOXES_ARR[None, :, 3]
+
+    tx1 = (x0 - px) * inv_dx
+    tx2 = (x1 - px) * inv_dx
+    ty1 = (y0 - py) * inv_dy
+    ty2 = (y1 - py) * inv_dy
+    tmin = np.maximum(np.minimum(tx1, tx2), np.minimum(ty1, ty2))
+    tmax = np.minimum(np.maximum(tx1, tx2), np.maximum(ty1, ty2))
+    # parallel rays outside the slab never hit
+    miss_x = (np.abs(dx) < eps) & ((px < x0) | (px > x1))
+    miss_y = (np.abs(dy) < eps) & ((py < y0) | (py > y1))
+    hit = (tmax >= np.maximum(tmin, 0.0)) & ~miss_x & ~miss_y
+    d_boxes = np.where(hit, np.where(tmin >= 0, tmin, np.inf), np.inf)
+    best = np.minimum(d_boxes.min(axis=1), max_range)
+
+    # arena walls (robot is inside; take positive exit distances)
     ax0, ax1, ay0, ay1 = ARENA
-    for i, (dx, dy) in enumerate(zip(dxs, dys)):
-        best = max_range
-        for box in BOXES:
-            d = _ray_box_distance(px, py, dx, dy, box)
-            if d < best:
-                best = d
-        # arena walls (robot is inside; take exit distance)
-        for p, dd, lo, hi in ((px, dx, ax0, ax1), (py, dy, ay0, ay1)):
-            if abs(dd) > 1e-12:
-                for bound in (lo, hi):
-                    t = (bound - p) / dd
-                    if 0 <= t < best:
-                        best = t
-        out[i] = best
-    return out
+    for bound, p, inv in ((ax0, px, inv_dx), (ax1, px, inv_dx),
+                          (ay0, py, inv_dy), (ay1, py, inv_dy)):
+        t = ((bound - p) * inv)[:, 0]
+        best = np.where((t >= 0) & (t < best), t, best)
+    return best
 
 
 def _box_clearance(x: float, y: float) -> float:
