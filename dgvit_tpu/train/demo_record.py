@@ -20,9 +20,17 @@ from dgvit_tpu.envs import Env, KinematicNavEnv
 def record_episodes(env: Env, action_source: Callable[[np.ndarray, np.ndarray, int], Sequence[float]],
                     out_dir: str, env_name: str = "RRC", driver: str = "jax",
                     episodes: int = 5, max_steps: int = 800,
-                    start_index: int = 0) -> list:
+                    start_index: int = 0,
+                    action_to_env: Optional[Callable] = None) -> list:
     """action_source(obs, goal, t) -> [linear, angular] (the teleop mirror of
-    Telekey_subscriber, demonstration.py:33-46)."""
+    Telekey_subscriber, demonstration.py:33-46).
+
+    `action_to_env` maps the RECORDED action to the env command. The reference
+    records raw teleop commands (demonstration.py:263) while its RL driver
+    stores pre-scaling policy actions (main.py:385) and deploys with
+    a_in=[(a0+1)*L_SCALE, a1*A_SCALE] — two incompatible action conventions in
+    the same Data/ corpus. Pass the driver mapping here to record
+    deployment-consistent (normalized) actions."""
     dest = os.path.join(out_dir, env_name, driver)
     os.makedirs(dest, exist_ok=True)
     written = []
@@ -32,7 +40,9 @@ def record_episodes(env: Env, action_source: Callable[[np.ndarray, np.ndarray, i
         obs, goal = r.state, r.to_goal
         for t in range(max_steps):
             action = np.asarray(action_source(obs, goal, t), np.float32)
-            s = env.step(action, t)
+            cmd = action if action_to_env is None else \
+                np.asarray(action_to_env(action), np.float32)
+            s = env.step(cmd, t)
             # skip zero actions (demonstration.py:269-270)
             if not np.allclose(action, 0.0):
                 o = obs.squeeze(-1) if obs.ndim == 3 and obs.shape[-1] == 1 else obs

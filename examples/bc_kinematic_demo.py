@@ -35,15 +35,26 @@ def main(argv=None):
     out = Path(args.out or tempfile.mkdtemp(prefix="bc_demo_"))
     print(f"workdir: {out}")
 
-    # 1. record scripted-pilot demonstrations
+    # 1. record scripted-pilot demonstrations in DEPLOYMENT action units:
+    # the pilot emits normalized a in [-1,1]^2, the env gets the driver
+    # mapping a_in = [(a0+1)*L_SCALE, a1*A_SCALE] (main.py:320) — so BC
+    # targets and eval-time actions share one convention
+    cfg = Config()
+    l_s, a_s = cfg.env.linear_cmd_scale, cfg.env.angular_cmd_scale
+
+    def pilot_norm(obs, goal, t):
+        v, w = scripted_pilot(obs, goal, t)
+        return [np.clip(v / l_s - 1.0, -1, 1), np.clip(w / a_s, -1, 1)]
+
     env = KinematicNavEnv(seed=0)
-    paths = record_episodes(env, scripted_pilot, str(out / "Data"),
-                            episodes=args.episodes, max_steps=200)
+    paths = record_episodes(
+        env, pilot_norm, str(out / "Data"), episodes=args.episodes,
+        max_steps=200,
+        action_to_env=lambda a: [(a[0] + 1.0) * l_s, a[1] * a_s])
     obs, act, goal = load_bc_dataset(str(out / "Data" / "RRC" / "jax" / "*.npz"))
     print(f"recorded {len(paths)} episodes, {obs.shape[0]} transitions")
 
     # 2. behavior-clone the live GoT policy (flagship config)
-    cfg = Config()
     model = GoTPolicy(block=cfg.model.block, head=cfg.model.head,
                       l_f_size=cfg.model.latent_size)
     trainer = BCTrainer(model=model, batch_size=32, seed=1)
