@@ -1,0 +1,68 @@
+"""Fully-fused transformer-block kernel vs the flax block (interpret mode on
+CPU; the compiled kernel is exercised on real TPU by bench.py and the model
+path). Covers the fp32-exact erf-polynomial gelu and the chunked MLP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgvit_tpu.models.layers import TransformerBlock
+from dgvit_tpu.ops.fused_transformer import (
+    _block_params_flat,
+    _block_xla,
+    _erf32,
+    fused_transformer_block,
+)
+
+B, N, D, H, DH, MLP = 4, 65, 64, 4, 64, 1024
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, D)) * 0.5
+    blk = TransformerBlock(D, H, DH, MLP, attn_impl="xla")
+    params = blk.init(jax.random.PRNGKey(1), x[:1])["params"]
+    return x, blk, params
+
+
+def test_erf_polynomial_accuracy():
+    x = jnp.linspace(-5, 5, 4001)
+    ref = jax.scipy.special.erf(x)
+    # A&S 7.1.26 bound is 1.5e-7 in exact arithmetic; fp32 evaluation adds
+    # rounding (measured max 4.1e-7)
+    np.testing.assert_allclose(np.asarray(_erf32(x)), np.asarray(ref),
+                               atol=1e-6)
+
+
+def test_xla_twin_matches_flax_block(block_setup):
+    x, blk, params = block_setup
+    ref = np.asarray(blk.apply({"params": params}, x))
+    flat = _block_params_flat(params, jnp.float32)
+    twin = np.asarray(_block_xla(x, flat, heads=H, dim_head=DH))
+    np.testing.assert_allclose(twin, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_kernel_interpret_matches_flax_block(block_setup):
+    x, blk, params = block_setup
+    ref = np.asarray(blk.apply({"params": params}, x))
+    flat = _block_params_flat(params, jnp.float32)
+    fused = np.asarray(fused_transformer_block(x, flat, H, DH, True))
+    # the only approximation is the erf polynomial inside gelu (<=2e-7),
+    # amplified by the 1024-wide fc2 reduction
+    np.testing.assert_allclose(fused, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_kernel_backward_matches_flax(block_setup):
+    x, blk, params = block_setup
+    flat = _block_params_flat(params, jnp.float32)
+
+    def loss_fused(x):
+        return fused_transformer_block(x, flat, H, DH, True).sum()
+
+    def loss_ref(x):
+        return blk.apply({"params": params}, x).sum()
+
+    g1 = np.asarray(jax.grad(loss_fused)(x))
+    g2 = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-3)
