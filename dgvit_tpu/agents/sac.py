@@ -45,6 +45,28 @@ from dgvit_tpu.models import distributions
 from dgvit_tpu.models.policies import build_actor, build_critic
 
 
+def _attention_fix_tx(lr: float, frozen: Tuple[str, ...] = ("trans", "fc_embed")):
+    """Head-only fine-tuning optimizer (P_ATTENTION_FIX / C_ATTENTION_FIX).
+
+    The reference builds Adam over ONLY the head layers — fc1/fc2(/fc3) and
+    mean/log_std (actor, DRL.py:144-149,155-161) or the twin-MLP heads
+    (critic, DRL.py:107-110) — leaving the transformer trunk AND fc_embed
+    out of the optimizer entirely. optax.multi_transform with set_to_zero
+    reproduces that: frozen subtrees receive exactly-zero updates and carry
+    no optimizer state."""
+
+    def label_fn(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "freeze" if k in frozen else "train", v)
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"train": optax.adam(lr, eps=1e-8), "freeze": optax.set_to_zero()},
+        label_fn)
+
+
 @struct.dataclass
 class SACTrainState:
     actor_params: Any
@@ -82,8 +104,17 @@ class SACAgent:
             self.auto_tune = False
             self.fixed_alpha = 0.0
 
-        self.actor_tx = optax.adam(s.lr_actor, eps=1e-8)
-        self.critic_tx = optax.adam(s.lr_critic, eps=1e-8)
+        # attention-freeze fine-tuning (DRL.py:107-110,144-161): only the
+        # Transformer variants carry the flags in the reference
+        tcfg = getattr(cfg, "train", None)
+        p_fix = bool(getattr(tcfg, "policy_attention_fix", False)) \
+            and cfg.model.actor_type.endswith("Transformer")
+        c_fix = bool(getattr(tcfg, "critic_attention_fix", False)) \
+            and cfg.model.critic_type == "Transformer"
+        self.actor_tx = (_attention_fix_tx(s.lr_actor) if p_fix
+                         else optax.adam(s.lr_actor, eps=1e-8))
+        self.critic_tx = (_attention_fix_tx(s.lr_critic) if c_fix
+                          else optax.adam(s.lr_critic, eps=1e-8))
         self.alpha_tx = optax.adam(s.lr_alpha, eps=1e-8)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))

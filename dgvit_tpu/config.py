@@ -149,6 +149,13 @@ class TrainConfig:
     critic_attention_fix: bool = False
     checkpoint_dir: str = "checkpoints"
     data_dir: str = "data"
+    robot: str = "scout"          # ROBOT (config.yaml:47)
+    # Checkpoint paths for the warm-start behaviors the reference hardcodes
+    # (main.py:272-278). Base path WITHOUT the _actor/_critic.npz suffix;
+    # empty = skip (the reference gates on PRE_TRAIN/IF_TEST alone because
+    # its paths are absolute constants).
+    pre_train_model: str = ""     # IL actor loaded when pre_train (main.py:272-274)
+    test_model: str = ""          # actor+critic loaded when if_test (main.py:275-278)
 
 
 @dataclass
@@ -235,4 +242,5 @@ def load_reference_yaml(path: str) -> Config:
     t.human_intervention = raw.get("HUMAN_INTERVENTION", t.human_intervention)
     t.policy_attention_fix = raw.get("P_ATTENTION_FIX", t.policy_attention_fix)
     t.critic_attention_fix = raw.get("C_ATTENTION_FIX", t.critic_attention_fix)
+    t.robot = raw.get("ROBOT", t.robot)
     return cfg.validate()

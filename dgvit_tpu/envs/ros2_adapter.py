@@ -158,7 +158,7 @@ class GazeboRos2Env:
         if self.records:
             rec = self.records[self.indice_position]
             self.indice_position = (self.indice_position + 1) % len(self.records)
-            self._set_entity(self.cfg.train.__dict__.get("robot", "scout"),
+            self._set_entity(getattr(self.cfg.train, "robot", "scout"),
                              rec["xR"], rec["yR"],
                              rec.get("quaterZ", 0), rec.get("quaterW", 1))
             self._set_entity("target_cone", rec["xG"], rec["yG"])

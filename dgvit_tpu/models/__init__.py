@@ -7,6 +7,9 @@ from dgvit_tpu.models.policies import (
     QNetwork,
     DeterministicPolicy,
     DeterministicGoTPolicy,
+    ViTGaussianPolicy,
+    ViTQNetwork,
+    ViTDeterministicPolicy,
     ValueNetwork,
     build_actor,
     build_critic,

@@ -285,6 +285,35 @@ class ViTQNetwork(nn.Module):
         return q1, q2
 
 
+class ViTDeterministicPolicy(nn.Module):
+    """vit_sac_network.py DeterministicTransformerPolicy (:375-441): SimpleViT
+    trunk, goal fc_embed->32 (no relu), concat, relu(fc1 288->128),
+    relu(fc2 128->32), tanh(mean_linear 32->A). Exploration noise
+    clamp(N(0,0.1), +-0.25) lives in distributions.deterministic_sample."""
+
+    action_dim: int = 2
+    pstate_dim: int = 2
+    dim: int = 256
+    depth: int = 2
+    heads: int = 8
+    mlp_dim: int = 2048
+    attn_impl: str = "auto"
+    capture: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, istate, pstate, *, deterministic: bool = True):
+        x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
+                       mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
+                       capture=self.capture, dtype=self.dtype, name="trans")(istate)
+        x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
+        x = jnp.concatenate([x1, x2], axis=1)
+        x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
+        return jnp.tanh(TorchLinear(self.action_dim, dtype=self.dtype,
+                                    name="mean_linear")(x))
+
+
 # --------------------------------------------------------------------------
 # Factories
 # --------------------------------------------------------------------------
@@ -309,6 +338,8 @@ def build_actor(cfg, dtype=None) -> nn.Module:
     if m.actor_type == "GaussianConvNet":
         return GaussianPolicy(**common)
     if m.actor_type == "DeterministicTransformer":
+        if m.backbone == "simple_vit":
+            return ViTDeterministicPolicy(**common)
         return DeterministicGoTPolicy(block=m.block, head=m.head,
                                       l_f_size=m.latent_size, dim_head=m.dim_head,
                                       mlp_dim=m.mlp_dim, **common)

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <random>
 #include <vector>
 
@@ -54,6 +55,26 @@ struct SumTree {
   }
 };
 
+struct MinTree {
+  // segment tree over leaf priorities; O(log n) set, O(1) min query.
+  // Padding / not-yet-stored leaves stay +inf so they never win the min.
+  int64_t cap = 0;
+  std::vector<double> tree;
+
+  void init(int64_t capacity) {
+    cap = 1;
+    while (cap < capacity) cap <<= 1;
+    tree.assign(2 * cap, std::numeric_limits<double>::infinity());
+  }
+  void set(int64_t i, double v) {
+    int64_t node = cap + i;
+    tree[node] = v;
+    for (node >>= 1; node >= 1; node >>= 1)
+      tree[node] = std::min(tree[2 * node], tree[2 * node + 1]);
+  }
+  double min() const { return tree[1]; }
+};
+
 struct Buffer {
   int64_t capacity = 0;
   int64_t cursor = 0;     // next write slot
@@ -61,6 +82,7 @@ struct Buffer {
   std::vector<int64_t> elem_nbytes;       // per field
   std::vector<std::vector<uint8_t>> data; // per field: capacity * elem_nbytes
   SumTree tree;
+  MinTree min_tree;
   double max_priority = 1.0;
   double alpha = 0.6;     // cpprb default priority exponent
   std::mt19937_64 rng{0x5eed};
@@ -81,6 +103,7 @@ void* rb_create(int64_t capacity, int64_t n_fields,
   for (int64_t f = 0; f < n_fields; ++f)
     b->data[f].resize(static_cast<size_t>(capacity) * field_nbytes[f]);
   b->tree.init(capacity);
+  b->min_tree.init(capacity);
   return b;
 }
 
@@ -102,7 +125,9 @@ void rb_add(void* h, int64_t n, const void** field_ptrs) {
                   static_cast<size_t>(nb));
     }
     // new samples get max priority (cpprb semantics)
-    b->tree.set(slot, std::pow(b->max_priority, b->alpha));
+    const double p = std::pow(b->max_priority, b->alpha);
+    b->tree.set(slot, p);
+    b->min_tree.set(slot, p);
     b->cursor = (b->cursor + 1) % b->capacity;
     b->stored = std::min(b->stored + 1, b->capacity);
   }
@@ -121,9 +146,9 @@ void rb_sample_prioritized(void* h, int64_t n, double beta,
   auto* b = static_cast<Buffer*>(h);
   const double total = b->tree.total();
   std::uniform_real_distribution<double> dist(0.0, total);
-  double min_p = 1e300;
-  for (int64_t i = 0; i < b->stored; ++i)
-    min_p = std::min(min_p, b->tree.get(i));
+  // O(1) min via the parallel min-tree (was an O(stored) scan per call —
+  // wrong shape for 1M-transition buffers)
+  const double min_p = b->min_tree.min();
   const double max_w = std::pow(min_p / total * b->stored, -beta);
   for (int64_t i = 0; i < n; ++i) {
     int64_t idx = b->tree.find(dist(b->rng));
@@ -139,7 +164,9 @@ void rb_update_priorities(void* h, int64_t n, const int64_t* idx,
   auto* b = static_cast<Buffer*>(h);
   for (int64_t i = 0; i < n; ++i) {
     b->max_priority = std::max(b->max_priority, prio[i]);
-    b->tree.set(idx[i], std::pow(prio[i], b->alpha));
+    const double p = std::pow(prio[i], b->alpha);
+    b->tree.set(idx[i], p);
+    b->min_tree.set(idx[i], p);
   }
 }
 

@@ -25,6 +25,7 @@ class BatchPrefetcher:
         self._sharding = sharding
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -40,7 +41,10 @@ class BatchPrefetcher:
         while not self._stop.is_set():
             try:
                 batch = self._sample_fn()
-            except Exception:
+            except Exception as e:
+                # surface the sampler failure to the consumer instead of
+                # silently ending iteration with no diagnostic
+                self._error = e
                 self._q.put(None)
                 return
             self._put(batch)
@@ -51,6 +55,9 @@ class BatchPrefetcher:
     def __next__(self):
         batch = self._q.get()
         if batch is None:
+            if self._error is not None and not self._stop.is_set():
+                raise RuntimeError(
+                    "BatchPrefetcher sample_fn failed") from self._error
             raise StopIteration
         return batch
 

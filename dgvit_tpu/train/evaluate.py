@@ -26,10 +26,18 @@ def run_eval(cfg: Config, env: Env, actor_params, max_episodes: int = 100,
     rng = RngStream(cfg.train.seed)
     actor = build_actor(cfg)
 
+    deterministic_actor = cfg.model.actor_type.startswith("Deterministic")
+
     @jax.jit
     def act_fn(params, obs, goal):
-        mean, _ = actor.apply({"params": params}, obs[None], goal[None])
-        return jax.numpy.tanh(mean)[0]  # deterministic action
+        out = actor.apply({"params": params}, obs[None], goal[None])
+        if deterministic_actor:
+            # Deterministic* actors return the tanh-squashed action directly
+            # (got_sac_network.py:385,447 / vit_sac_network.py:428) — a
+            # second tanh here would double-squash it.
+            return out[0]
+        mean, _ = out
+        return jax.numpy.tanh(mean)[0]  # deterministic mean action
 
     cntr2 = 0
     total_rel = max_episodes

@@ -32,7 +32,7 @@ from dgvit_tpu.core import checkpoint as ckpt
 from dgvit_tpu.core.rng import RngStream
 from dgvit_tpu.envs import Env, KinematicNavEnv
 from dgvit_tpu.envs.replay_env import load_demo_npz
-from dgvit_tpu.replay import PrioritizedReplayBuffer
+from dgvit_tpu.replay import PrioritizedReplayBuffer, ReplayBuffer
 from dgvit_tpu.replay.buffer import reference_schema
 from dgvit_tpu.utils import MetricsLogger, RewardCurve
 
@@ -92,13 +92,28 @@ def load_expert_dataset(pattern: str):
 
 def train(cfg: Config, env: Env, out_dir: str = "results",
           expert_glob: Optional[str] = None, max_episodes: Optional[int] = None,
-          resume: bool = False) -> dict:
+          resume: bool = False, intervention=None) -> dict:
+    """`intervention`: optional human-in-the-loop source with `.engaged` and
+    `.read_action() -> [linear, angular]` (train/keyboard_control.KeyboardTeleop
+    or any duck-typed stand-in). When engaged, the human command overrides the
+    policy action and the transition is stored with engage=1.0, feeding the
+    engage loss in learn_guidence (DRL.py:267-276; keyboard '1'/'2' gate)."""
     t = cfg.train
     e = cfg.env
     s = cfg.sac
     rng = RngStream(t.seed)
     agent = SACAgent(cfg)
     state = agent.init_state(t.seed)
+
+    # PRE_TRAIN: warm-start the actor from an IL checkpoint (main.py:272-274)
+    if t.pre_train and not t.if_test and t.pre_train_model:
+        d, f = os.path.split(t.pre_train_model)
+        state = agent.load(state, f, d or ".", actor_only=True)
+    # IF_TEST: load actor+critic and hard-refresh the target (main.py:275-278)
+    if t.if_test and t.test_model:
+        d, f = os.path.split(t.test_model)
+        state = agent.load(state, f, d or ".")
+        state = agent.load_target(state)
 
     ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
     if resume:
@@ -110,7 +125,10 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
     curve = RewardCurve()
 
     ih, iw = cfg.model.image_size
-    buf = PrioritizedReplayBuffer(
+    # uniform runs use the plain ring buffer: no sum-tree writes, no IS
+    # weights/indexes riding into the jitted step as dead pytree leaves
+    buf_cls = PrioritizedReplayBuffer if s.prioritized_replay else ReplayBuffer
+    buf = buf_cls(
         s.buffer_size, reference_schema((ih, iw), s.action_dim, s.pstate_dim),
         seed=t.seed)
 
@@ -119,7 +137,8 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
     if t.pre_buffer and expert_glob:
         data = load_expert_dataset(expert_glob)
         if data is not None:
-            expert_buf = PrioritizedReplayBuffer(
+            # expert demos are sampled uniformly in the reference
+            expert_buf = ReplayBuffer(
                 data["obs"].shape[0] + 1,
                 reference_schema((ih, iw), s.action_dim, s.pstate_dim,
                                  expert=True), seed=t.seed)
@@ -159,6 +178,21 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
             a = np.asarray(agent.choose_action(
                 state, obs, goal[:2], rng.next(), evaluate=t.if_test))
             a = a.clip(-max_action, max_action)
+            engage = 0.0
+            if intervention is not None and getattr(intervention, "engaged",
+                                                    False):
+                # human override: execute the teleop command and store it in
+                # POLICY units (inverse of the a_in mapping below) with
+                # engage=1 so learn_guidence's intervention loss can pull the
+                # policy mean toward it (DRL.py:267-276). The unit conversion
+                # is deliberate — round 1 showed command-unit labels vs
+                # policy-unit deployment costs ~25% success (BENCH.md).
+                cmd = intervention.read_action()
+                a = np.asarray(
+                    [cmd[0] / e.linear_cmd_scale - 1.0,
+                     cmd[1] / e.angular_cmd_scale],
+                    np.float32).clip(-max_action, max_action)
+                engage = 1.0
             a_in = [(a[0] + 1) * e.linear_cmd_scale, a[1] * e.angular_cmd_scale]
             last_goal = goal
             sres = env.step(a_in, timestep)
@@ -178,20 +212,43 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
             if not t.if_test:
                 buf.add(obs=obs, act=a, pobs=last_goal[:2],
                         next_pobs=goal[:2], rew=sres.reward,
-                        next_obs=next_obs, engage=0.0, done=float(done))
+                        next_obs=next_obs, engage=engage, done=float(done))
                 if buf.get_stored_size() >= s.batch_size:
-                    if (t.human_intervention or t.pre_buffer) and expert_buf:
-                        k = agent.expert_batch_size(
-                            expert_size, buf.get_stored_size(), s.batch_size)
-                        eb = expert_buf.sample(s.batch_size)
-                        eb["act"] = eb.pop("act_exp")
-                        eb["engage"] = np.zeros((s.batch_size, 1), np.float32)
+                    use_guided = expert_buf is not None and (
+                        t.human_intervention or t.pre_buffer)
+                    if use_guided or (t.human_intervention
+                                      and intervention is not None):
+                        ab = buf.sample(s.batch_size)
+                        if expert_buf is not None:
+                            k = agent.expert_batch_size(
+                                expert_size, buf.get_stored_size(),
+                                s.batch_size)
+                            eb = expert_buf.sample(s.batch_size)
+                            eb["act"] = eb.pop("act_exp")
+                        else:
+                            # intervention-only mode: engage loss still needs
+                            # the guided step; feed an all-masked expert batch
+                            k = 0
+                            eb = {key: np.zeros_like(v)
+                                  for key, v in ab.items() if key != "engage"}
+                        eb.pop("engage", None)  # only the agent batch's engage is used
                         state, metrics = agent.learn_guidence(
-                            state, to_batch(buf.sample(s.batch_size)),
-                            to_batch(eb), k)
+                            state, to_batch(ab), to_batch(eb), k)
+                    elif s.prioritized_replay:
+                        d = buf.sample(s.batch_size)
+                        w = d.pop("weights")
+                        idx = d.pop("indexes")
+                        d.pop("engage", None)
+                        state, metrics, td = agent.learn_per(
+                            state, to_batch(d), w)
+                        # new priorities = |TD error| + eps (standard PER;
+                        # the reference stubs this at DRL.py:365-368)
+                        buf.update_priorities(
+                            idx, np.abs(np.asarray(td)) + 1e-6)
                     else:
-                        state, metrics = agent.learn(
-                            state, to_batch(buf.sample(s.batch_size)))
+                        d = buf.sample(s.batch_size)
+                        d.pop("engage", None)
+                        state, metrics = agent.learn(state, to_batch(d))
             obs = next_obs
             total_steps += 1
             if sres.target:
@@ -283,8 +340,15 @@ def main(argv=None):
         from dgvit_tpu.envs.ros2_adapter import GazeboRos2Env
         env = GazeboRos2Env(cfg)
 
+    intervention = None
+    if cfg.train.human_intervention:
+        import sys
+        if sys.stdin.isatty():
+            from dgvit_tpu.train.keyboard_control import KeyboardTeleop
+            intervention = KeyboardTeleop()
+
     out = train(cfg, env, args.out, args.expert_glob, args.episodes,
-                args.resume)
+                args.resume, intervention=intervention)
     print(f"done: {out['successes']} successes over {out['episodes']} episodes,"
           f" max mean reward {out['max_mean_reward']:.2f}")
 

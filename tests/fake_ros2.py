@@ -1,0 +1,263 @@
+"""Minimal fake rclpy / ROS2 message stack so `envs/ros2_adapter.py` is
+testable in CI with no ROS install (VERDICT round-1 Missing #1 / Next #2).
+
+Mirrors exactly the API surface GazeboRos2Env touches:
+  rclpy.init / create_node / spin_until_future_complete / executors
+  Node.create_publisher / create_client / create_subscription / get_logger
+  geometry_msgs Twist, std_srvs Empty, gazebo_msgs SetEntityState,
+  nav_msgs Odometry, sensor_msgs Image + LaserScan
+(reference contract: env_lab.py:91-378 topics/services.)
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from typing import Any, Dict, List
+
+
+class _Vec:
+    def __init__(self):
+        self.x = 0.0
+        self.y = 0.0
+        self.z = 0.0
+        self.w = 0.0
+
+
+class Twist:
+    def __init__(self):
+        self.linear = _Vec()
+        self.angular = _Vec()
+
+
+class _Pose:
+    def __init__(self):
+        self.position = _Vec()
+        self.orientation = _Vec()
+        self.orientation.w = 1.0
+
+
+class _EntityState:
+    def __init__(self):
+        self.name = ""
+        self.pose = _Pose()
+
+
+class Empty:
+    class Request:
+        pass
+
+
+class SetEntityState:
+    class Request:
+        def __init__(self):
+            self.state = _EntityState()
+
+
+class Image:
+    def __init__(self, height=0, width=0, encoding="32FC1", data=b""):
+        self.height = height
+        self.width = width
+        self.encoding = encoding
+        self.data = data
+
+
+class LaserScan:
+    def __init__(self, ranges=()):
+        self.ranges = list(ranges)
+
+
+class Odometry:
+    def __init__(self, x=0.0, y=0.0, qz=0.0, qw=1.0):
+        self.pose = types.SimpleNamespace(pose=_Pose())
+        self.pose.pose.position.x = x
+        self.pose.pose.position.y = y
+        self.pose.pose.orientation.z = qz
+        self.pose.pose.orientation.w = qw
+
+
+class _Future:
+    def done(self):
+        return True
+
+
+class _Logger:
+    def __init__(self, sink: List[str]):
+        self._sink = sink
+
+    def info(self, msg):
+        self._sink.append(("info", str(msg)))
+
+    def error(self, msg):
+        self._sink.append(("error", str(msg)))
+
+
+class FakePublisher:
+    def __init__(self, topic: str, world: "FakeWorld"):
+        self.topic = topic
+        self.world = world
+
+    def publish(self, msg):
+        self.world.published.setdefault(self.topic, []).append(msg)
+
+
+class FakeClient:
+    def __init__(self, srv_name: str, world: "FakeWorld"):
+        self.srv_name = srv_name
+        self.world = world
+        # first wait fails when the world says so (exercises the
+        # service-availability wait loop, env_lab.py:197-211)
+        self._waits = 0
+
+    def wait_for_service(self, timeout_sec=1.0):
+        self._waits += 1
+        fail_first = self.world.fail_first_wait.get(self.srv_name, 0)
+        return self._waits > fail_first
+
+    def call_async(self, request):
+        self.world.service_calls.append((self.srv_name, request))
+        return _Future()
+
+
+class FakeNode:
+    def __init__(self, name: str, world: "FakeWorld"):
+        self.name = name
+        self.world = world
+
+    def create_publisher(self, msg_type, topic, qos):
+        return FakePublisher(topic, self.world)
+
+    def create_client(self, srv_type, srv_name):
+        return FakeClient(srv_name, self.world)
+
+    def create_subscription(self, msg_type, topic, callback, qos):
+        self.world.subscriptions[topic] = callback
+        return object()
+
+    def get_logger(self):
+        return _Logger(self.world.logs)
+
+
+class FakeExecutor:
+    def __init__(self):
+        self._nodes = []
+        self._spinning = False
+
+    def add_node(self, node):
+        self._nodes.append(node)
+
+    def spin(self):
+        # park the daemon thread; message delivery is explicit via
+        # FakeWorld.deliver (tests drive the mailboxes synchronously)
+        import threading
+
+        self._spinning = True
+        threading.Event().wait(3600)
+
+
+class FakeWorld:
+    """Introspection handle returned by install()."""
+
+    def __init__(self):
+        self.published: Dict[str, List[Any]] = {}
+        self.subscriptions: Dict[str, Any] = {}
+        self.service_calls: List[Any] = []
+        self.logs: List[Any] = []
+        self.fail_first_wait: Dict[str, int] = {}
+        self.node = None
+
+    def deliver(self, topic: str, msg):
+        """Push a message into a subscribed callback (DDS stand-in)."""
+        self.subscriptions[topic](msg)
+
+    def twists(self, topic="/cmd_vel"):
+        return self.published.get(topic, [])
+
+    def calls(self, srv_name):
+        return [r for n, r in self.service_calls if n == srv_name]
+
+
+_FAKE_MODULES = ["rclpy", "rclpy.node", "rclpy.executors",
+                 "geometry_msgs", "geometry_msgs.msg",
+                 "std_srvs", "std_srvs.srv",
+                 "gazebo_msgs", "gazebo_msgs.srv",
+                 "nav_msgs", "nav_msgs.msg",
+                 "sensor_msgs", "sensor_msgs.msg"]
+
+
+def install() -> FakeWorld:
+    """Inject the fake stack into sys.modules. Returns the world handle.
+    Call BEFORE importing dgvit_tpu.envs.ros2_adapter (its HAS_ROS2 gate
+    is evaluated at import time)."""
+    world = FakeWorld()
+
+    rclpy = types.ModuleType("rclpy")
+    rclpy.init = lambda args=None: None
+    rclpy.shutdown = lambda: None
+
+    def create_node(name):
+        world.node = FakeNode(name, world)
+        return world.node
+
+    rclpy.create_node = create_node
+    rclpy.spin_until_future_complete = lambda node, fut: None
+
+    rclpy_node = types.ModuleType("rclpy.node")
+    rclpy_node.Node = FakeNode
+    rclpy_execs = types.ModuleType("rclpy.executors")
+    rclpy_execs.MultiThreadedExecutor = FakeExecutor
+    rclpy.node = rclpy_node
+    rclpy.executors = rclpy_execs
+
+    geom = types.ModuleType("geometry_msgs")
+    geom_msg = types.ModuleType("geometry_msgs.msg")
+    geom_msg.Twist = Twist
+    geom.msg = geom_msg
+
+    std_srvs = types.ModuleType("std_srvs")
+    std_srvs_srv = types.ModuleType("std_srvs.srv")
+    std_srvs_srv.Empty = Empty
+    std_srvs.srv = std_srvs_srv
+
+    gz = types.ModuleType("gazebo_msgs")
+    gz_srv = types.ModuleType("gazebo_msgs.srv")
+    gz_srv.SetEntityState = SetEntityState
+    gz.srv = gz_srv
+
+    nav = types.ModuleType("nav_msgs")
+    nav_msg = types.ModuleType("nav_msgs.msg")
+    nav_msg.Odometry = Odometry
+    nav.msg = nav_msg
+
+    sens = types.ModuleType("sensor_msgs")
+    sens_msg = types.ModuleType("sensor_msgs.msg")
+    sens_msg.Image = Image
+    sens_msg.LaserScan = LaserScan
+    sens.msg = sens_msg
+
+    mods = {"rclpy": rclpy, "rclpy.node": rclpy_node,
+            "rclpy.executors": rclpy_execs,
+            "geometry_msgs": geom, "geometry_msgs.msg": geom_msg,
+            "std_srvs": std_srvs, "std_srvs.srv": std_srvs_srv,
+            "gazebo_msgs": gz, "gazebo_msgs.srv": gz_srv,
+            "nav_msgs": nav, "nav_msgs.msg": nav_msg,
+            "sensor_msgs": sens, "sensor_msgs.msg": sens_msg}
+    sys.modules.update(mods)
+    # force a fresh adapter import so HAS_ROS2 re-evaluates against the fakes
+    _drop_adapter_module()
+    return world
+
+
+def _drop_adapter_module():
+    sys.modules.pop("dgvit_tpu.envs.ros2_adapter", None)
+    # `from dgvit_tpu.envs import ros2_adapter` resolves the PACKAGE ATTRIBUTE
+    # first, which survives the sys.modules pop — drop it too
+    pkg = sys.modules.get("dgvit_tpu.envs")
+    if pkg is not None and hasattr(pkg, "ros2_adapter"):
+        delattr(pkg, "ros2_adapter")
+
+
+def uninstall():
+    for m in _FAKE_MODULES:
+        sys.modules.pop(m, None)
+    _drop_adapter_module()

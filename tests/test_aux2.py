@@ -1,0 +1,117 @@
+"""Round-2 aux coverage: SLIC oracle vs skimage (skippable), distributed
+init no-op behavior, and local batch slicing (VERDICT r1 Missing #6, Weak #5).
+"""
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# core/distributed.py (multi-host init + process-major batch slicing)
+# ---------------------------------------------------------------------------
+
+def test_distributed_initialize_noop_single_process(monkeypatch):
+    """No coordinator address -> no jax.distributed call at all."""
+    import jax
+
+    from dgvit_tpu.core import distributed
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    called = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.setdefault("kw", kw))
+    distributed.initialize()
+    assert "kw" not in called
+
+
+def test_distributed_initialize_passes_env_config(monkeypatch):
+    import jax
+
+    from dgvit_tpu.core import distributed
+
+    got = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: got.update(kw))
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("NUM_PROCESSES", "4")
+    monkeypatch.setenv("PROCESS_ID", "2")
+    distributed.initialize()
+    assert got == {"coordinator_address": "10.0.0.1:1234",
+                   "num_processes": 4, "process_id": 2}
+
+
+def test_local_batch_slice_covers_global_batch(monkeypatch):
+    """Process-major slices must tile the global batch exactly — this is the
+    layout make_mesh produces for the data axis."""
+    import jax
+
+    from dgvit_tpu.core import distributed
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    slices = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        slices.append(distributed.local_batch_slice(32))
+    covered = sorted(i for s in slices for i in range(s.start, s.stop))
+    assert covered == list(range(32))
+
+
+# ---------------------------------------------------------------------------
+# SLIC vs skimage oracle (env_lab.py:49-59 uses skimage.segmentation.slic)
+# ---------------------------------------------------------------------------
+
+def _test_image(h=64, w=80, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    img = 0.5 * yy + 0.3 * np.sin(6 * xx) + 0.05 * rng.normal(size=(h, w))
+    return (255 * (img - img.min()) / (img.ptp() + 1e-9)).astype(np.float32)
+
+
+def test_slic_segments_close_to_skimage():
+    pytest.importorskip("skimage", reason="scikit-image not installed")
+    from skimage.segmentation import slic as sk_slic
+
+    from dgvit_tpu.envs.faults import slic_segments
+
+    img = _test_image()
+    ours = slic_segments(img, n_segments=50, compactness=4)
+    ref = sk_slic(img, n_segments=50, compactness=4, channel_axis=None,
+                  start_label=1)
+    n_ours = len(np.unique(ours))
+    n_ref = len(np.unique(ref))
+    # independent implementations won't be label-identical; require the
+    # segmentations to agree structurally: comparable segment counts and
+    # high pairwise co-assignment (Rand-index style) on sampled pixel pairs
+    assert 0.5 * n_ref <= n_ours <= 2.0 * n_ref
+    rng = np.random.default_rng(1)
+    flat_o, flat_r = ours.ravel(), ref.ravel()
+    i = rng.integers(0, flat_o.size, 4000)
+    j = rng.integers(0, flat_o.size, 4000)
+    same_o = flat_o[i] == flat_o[j]
+    same_r = flat_r[i] == flat_r[j]
+    rand_index = np.mean(same_o == same_r)
+    assert rand_index > 0.85, f"segmentations diverge: RI={rand_index:.3f}"
+
+
+def test_superpixel_occlusion_band_fraction_close_to_skimage():
+    pytest.importorskip("skimage", reason="scikit-image not installed")
+    from skimage.segmentation import slic as sk_slic
+
+    from dgvit_tpu.envs.faults import superpixel_occlusion
+
+    img = _test_image(seed=2) + 1.0  # strictly positive so zeros = occluded
+    ours = superpixel_occlusion(img, segments=50)
+    # reference pipeline with skimage labels (env_lab.py:49-59)
+    labels = sk_slic(img, n_segments=50, compactness=4, channel_axis=None,
+                     start_label=1)
+    h = img.shape[0]
+    band = h // 5
+    y1 = h // 2 - band // 2
+    ref = img.copy()
+    for seg in np.unique(labels[y1:y1 + band, :]):
+        ref[labels == seg] = 0
+    frac_ours = np.mean(ours == 0)
+    frac_ref = np.mean(ref == 0)
+    assert frac_ours > 0.15  # the band plus overlap is a sizable region
+    assert abs(frac_ours - frac_ref) < 0.25

@@ -8,6 +8,10 @@ from dgvit_tpu.config import Config
 from dgvit_tpu.envs import KinematicNavEnv
 from dgvit_tpu.train.device_rollout import device_rollout
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_device_rollout_episode():
     cfg = Config.from_dict({

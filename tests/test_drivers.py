@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dgvit_tpu.config import Config
 from dgvit_tpu.envs import KinematicNavEnv
 from dgvit_tpu.train.demo_record import record_episodes, scripted_pilot
@@ -132,3 +134,105 @@ def test_offline_training_from_demos(tmp_path):
     assert stats["steps_per_sec"] > 0
     assert np.isfinite(stats["final"]["policy_loss"])
     assert int(state.itera) == 5
+
+
+def test_pre_train_warm_start_loads_il_actor(tmp_path):
+    """PRE_TRAIN: actor warm-started from an IL checkpoint (main.py:272-274)."""
+    import jax
+    from dgvit_tpu.agents import SACAgent
+    from dgvit_tpu.core import checkpoint as ckpt
+
+    cfg = tiny_cfg(tmp_path)
+    donor = SACAgent(cfg)
+    donor_state = donor.init_state(123)
+    ckpt.save_params_npz(str(tmp_path / "il"), "warm",
+                         jax.tree_util.tree_map(np.asarray,
+                                                donor_state.actor_params))
+    donor_actor = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                   jax.tree_util.tree_flatten_with_path(
+                       donor_state.actor_params)[0]}
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.train.pre_train = True
+    cfg2.train.pre_train_model = str(tmp_path / "il" / "warm")
+    env = KinematicNavEnv(seed=7, image_hw=(32, 40))
+    out = train(cfg2, env, out_dir=str(tmp_path / "out"), max_episodes=0)
+    got = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(
+               out["state"].actor_params)[0]}
+    for k in donor_actor:
+        np.testing.assert_array_equal(donor_actor[k], got[k])
+
+
+def test_if_test_loads_actor_and_critic_and_skips_learning(tmp_path):
+    """IF_TEST: actor+critic loaded, target refreshed, no buffer writes
+    (main.py:275-278; the t.if_test gate in the step loop)."""
+    import jax
+    from dgvit_tpu.agents import SACAgent
+
+    cfg = tiny_cfg(tmp_path)
+    donor = SACAgent(cfg)
+    donor_state = donor.init_state(99)
+    donor.save(donor_state, "m", str(tmp_path / "ckpt"), reward=1.0, seed=99)
+    import glob as _g
+    actor_file = _g.glob(str(tmp_path / "ckpt" / "*_actor.npz"))[0]
+    base = actor_file[: -len("_actor.npz")]
+
+    cfg2 = tiny_cfg(tmp_path, episodes=1)
+    cfg2.train.if_test = True
+    cfg2.train.test_model = base
+    env = KinematicNavEnv(seed=8, image_hw=(32, 40))
+    out = train(cfg2, env, out_dir=str(tmp_path / "out"), max_episodes=1)
+    got_c = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+             jax.tree_util.tree_flatten_with_path(
+                 out["state"].critic_params)[0]}
+    want_c = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(
+                  donor_state.critic_params)[0]}
+    for k in want_c:  # critic untouched: loaded AND no learning happened
+        np.testing.assert_array_equal(want_c[k], got_c[k])
+    # target refreshed to the loaded critic (load_target)
+    got_t = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+             jax.tree_util.tree_flatten_with_path(
+                 out["state"].critic_target_params)[0]}
+    for k in want_c:
+        np.testing.assert_array_equal(want_c[k], got_t[k])
+
+
+def test_per_training_loop_updates_priorities(tmp_path):
+    """prioritized_replay=True drives learn_per + update_priorities
+    end-to-end in train_rl (VERDICT Next #3)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.sac.prioritized_replay = True
+    cfg.env.max_steps = 10
+    env = KinematicNavEnv(seed=9, image_hw=(32, 40))
+    out = train(cfg, env, out_dir=str(tmp_path), max_episodes=2)
+    assert out["episodes"] >= 1
+    assert np.isfinite(out["max_mean_reward"])
+
+
+class _FakeTeleop:
+    """Duck-typed intervention source (train_rl `intervention` contract)."""
+
+    def __init__(self):
+        self.engaged = True
+        self.reads = 0
+
+    def read_action(self):
+        self.reads += 1
+        return [0.3, 0.2]
+
+
+def test_human_intervention_engage_rows_reach_guided_step(tmp_path):
+    """Engage plumbing: with human_intervention + an engaged teleop and NO
+    expert buffer, the loop must route through learn_guidence with engage=1
+    rows (DRL.py:267-276) and execute the human command."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.train.human_intervention = True
+    cfg.env.max_steps = 10
+    tele = _FakeTeleop()
+    env = KinematicNavEnv(seed=10, image_hw=(32, 40))
+    out = train(cfg, env, out_dir=str(tmp_path), max_episodes=2,
+                intervention=tele)
+    assert tele.reads > 0, "teleop commands were never read"
+    assert out["episodes"] >= 1

@@ -130,6 +130,7 @@ def test_optax_adam_matches_torch_adam():
                                atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_guided_step_with_and_without_expert():
     agent = SACAgent(tiny_cfg())
     state = agent.init_state(7)
@@ -181,6 +182,7 @@ def test_deterministic_actor_config():
     assert float(metrics["alpha"]) == 0.0
 
 
+@pytest.mark.slow
 def test_nan_guard_rolls_back_bad_update():
     """Failure detection (SURVEY.md §5): a batch that produces non-finite
     losses must not change params when nan_guard is on."""
@@ -223,6 +225,7 @@ def test_agent_save_load_reference_api(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_per_update_returns_td_errors_and_weights_matter():
     """Real PER path (the reference stubs it out, DRL.py:365-368): IS weights
     scale the critic loss; per-sample TD errors come back for priority
@@ -246,6 +249,7 @@ def test_per_update_returns_td_errors_and_weights_matter():
     assert float(m3["qf1_loss"]) != pytest.approx(float(m1["qf1_loss"]), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_offline_per_training(tmp_path):
     from dgvit_tpu.train.train_offline import (
         fill_buffer_from_demos, train_offline)

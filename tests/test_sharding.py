@@ -13,8 +13,9 @@ from dgvit_tpu.core.mesh import AXIS_DATA, AXIS_MODEL, MeshRuntime, make_mesh
 from dgvit_tpu.parallel import shard_batch, shard_sac_state, sharded_learn
 
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")]
 
 
 def tiny_cfg(batch=16):
