@@ -48,6 +48,17 @@ class ModelConfig:
     dropout: float = 0.0
     backbone: str = "got"   # got | simple_vit (vit_sac_network alternative zoo)
     compute_dtype: str = "float32"  # float32 | bfloat16 (bf16 for the TPU fast path)
+    # Shard the token stream over the `seq` mesh axis (ring attention,
+    # parallel/ring_attention.py). Requires an active mesh with seq > 1 and a
+    # token count divisible by it (SimpleViT: 64 patches; GoT adds a goal
+    # token -> 65, so GoT falls back to local attention unless geometry
+    # makes N divisible).
+    seq_shard: bool = False
+    # SimpleViT-zoo dims (vit_sac_network.py fixes 256/2/8; configurable here
+    # so tiny CI geometries and bigger production ViTs share one code path)
+    vit_dim: int = 256
+    vit_depth: int = 2
+    vit_heads: int = 8
 
     def validate(self):
         ih, iw = self.image_size

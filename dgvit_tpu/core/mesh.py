@@ -23,6 +23,42 @@ AXIS_DATA = "data"
 AXIS_MODEL = "model"
 AXIS_SEQ = "seq"
 
+# ---------------------------------------------------------------------------
+# Active-mesh registry: models that optionally shard over a mesh axis (ring
+# attention over `seq`) look the mesh up here instead of threading a Mesh
+# through every flax module. Set by parallel.sharded_learn / use_mesh().
+# ---------------------------------------------------------------------------
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+class use_mesh:
+    """Context manager: enter the jax Mesh context AND publish it to the
+    registry so seq-sharded attention layers can find it."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._prev = active_mesh()
+        set_active_mesh(self.mesh)
+        self._ctx = self.mesh
+        self._ctx.__enter__()
+        return self.mesh
+
+    def __exit__(self, *exc):
+        self._ctx.__exit__(*exc)
+        set_active_mesh(self._prev)
+        return False
+
 
 def make_mesh(
     data: int = -1,

@@ -60,6 +60,7 @@ class GoT(nn.Module):
     final_norm: str = "rms"    # rms (GoalFormer) | layer (IL fork)
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False    # ring attention over the `seq` mesh axis
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,7 +90,7 @@ class GoT(nn.Module):
         x = Transformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, attn_impl=self.attn_impl, capture=self.capture,
-            dtype=self.dtype, name="transformer",
+            seq_shard=self.seq_shard, dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
 
         x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]

@@ -111,6 +111,7 @@ class Attention(nn.Module):
     dropout: float = 0.0
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False   # ring attention over the `seq` mesh axis
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -141,6 +142,7 @@ class Attention(nn.Module):
             self.attn_impl in ("auto", "fused")
             and jax.default_backend() == "tpu"
             and not self.capture
+            and not self.seq_shard
             and project_out
             and n <= 256
         )
@@ -164,10 +166,16 @@ class Attention(nn.Module):
             probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
             out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
         else:
-            # attention-prob dropout is 0 in every reference config
-            # (GoalFormer.py:124 dropout=0.); the fused kernel skips it
-            impl = "auto" if self.attn_impl == "fused" else self.attn_impl
-            out = dot_product_attention(q, k, v, scale, impl=impl)
+            out = None
+            if self.seq_shard:
+                from dgvit_tpu.parallel.ring_attention import (
+                    seq_sharded_attention)
+                out = seq_sharded_attention(q, k, v, scale)
+            if out is None:
+                # attention-prob dropout is 0 in every reference config
+                # (GoalFormer.py:124 dropout=0.); the fused kernel skips it
+                impl = "auto" if self.attn_impl == "fused" else self.attn_impl
+                out = dot_product_attention(q, k, v, scale, impl=impl)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         if project_out:
@@ -193,6 +201,7 @@ class TransformerBlock(nn.Module):
     dropout: float = 0.0
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -203,6 +212,7 @@ class TransformerBlock(nn.Module):
             self.attn_impl in ("auto", "fused")
             and jax.default_backend() == "tpu"
             and not self.capture
+            and not self.seq_shard
             and self.dropout == 0.0
             and not (self.heads == 1 and self.dim_head == self.dim)
             and x.shape[1] <= 256
@@ -248,7 +258,8 @@ class TransformerBlock(nn.Module):
         h = LayerNorm(self.dim, name="attn_norm")(x)
         h = Attention(
             self.dim, self.heads, self.dim_head, self.dropout,
-            attn_impl=self.attn_impl, capture=self.capture, dtype=self.dtype,
+            attn_impl=self.attn_impl, capture=self.capture,
+            seq_shard=self.seq_shard, dtype=self.dtype,
             name="attn",
         )(h, deterministic=deterministic)
         x = x + h
@@ -267,6 +278,7 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -274,7 +286,8 @@ class Transformer(nn.Module):
         for i in range(self.depth):
             x = TransformerBlock(
                 self.dim, self.heads, self.dim_head, self.mlp_dim, self.dropout,
-                attn_impl=self.attn_impl, capture=self.capture, dtype=self.dtype,
+                attn_impl=self.attn_impl, capture=self.capture,
+                seq_shard=self.seq_shard, dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         return x

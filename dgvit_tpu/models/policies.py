@@ -51,6 +51,7 @@ class GoTPolicy(nn.Module):
     emb_dropout: float = 0.1
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -62,7 +63,8 @@ class GoTPolicy(nn.Module):
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
             emb_dropout=self.emb_dropout, patch_mode=self.patch_mode,
             final_norm=self.final_norm, attn_impl=self.attn_impl,
-            capture=self.capture, dtype=self.dtype, name="trans",
+            capture=self.capture, seq_shard=self.seq_shard, dtype=self.dtype,
+            name="trans",
         )(istate, goal, deterministic=deterministic)
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(latent))
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc2")(x))
@@ -87,6 +89,7 @@ class GoTQNetwork(nn.Module):
     patch_mode: str = "2d"
     emb_dropout: float = 0.1
     attn_impl: str = "auto"
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -97,7 +100,8 @@ class GoTQNetwork(nn.Module):
             dim=self.l_f_size, depth=self.block, heads=self.head,
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
             emb_dropout=self.emb_dropout, patch_mode=self.patch_mode,
-            attn_impl=self.attn_impl, dtype=self.dtype, name="trans",
+            attn_impl=self.attn_impl, seq_shard=self.seq_shard,
+            dtype=self.dtype, name="trans",
         )(istate, goal, deterministic=deterministic)
         x = jnp.concatenate([latent, action.astype(latent.dtype)], axis=1)
         q1 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
@@ -241,13 +245,15 @@ class ViTGaussianPolicy(nn.Module):
     mlp_dim: int = 2048
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, istate, pstate, *, deterministic: bool = True):
         x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
                        mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
-                       capture=self.capture, dtype=self.dtype, name="trans")(istate)
+                       capture=self.capture, seq_shard=self.seq_shard,
+                       dtype=self.dtype, name="trans")(istate)
         x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
         x = jnp.concatenate([x1, x2], axis=1)
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
@@ -267,12 +273,14 @@ class ViTQNetwork(nn.Module):
     heads: int = 8
     mlp_dim: int = 2048
     attn_impl: str = "auto"
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, istate, pstate, action, *, deterministic: bool = True):
         x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
                        mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
+                       seq_shard=self.seq_shard,
                        dtype=self.dtype, name="trans")(istate)
         x2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate))
         x = jnp.concatenate([x1, x2, action.astype(x1.dtype)], axis=1)
@@ -299,13 +307,15 @@ class ViTDeterministicPolicy(nn.Module):
     mlp_dim: int = 2048
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, istate, pstate, *, deterministic: bool = True):
         x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
                        mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
-                       capture=self.capture, dtype=self.dtype, name="trans")(istate)
+                       capture=self.capture, seq_shard=self.seq_shard,
+                       dtype=self.dtype, name="trans")(istate)
         x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
         x = jnp.concatenate([x1, x2], axis=1)
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
@@ -328,18 +338,21 @@ def build_actor(cfg, dtype=None) -> nn.Module:
     else:
         m, s = cfg.model, cfg.sac  # duck-typed
     common = dict(action_dim=s.action_dim, pstate_dim=s.pstate_dim, dtype=dtype)
+    seqs = dict(seq_shard=getattr(m, "seq_shard", False))
+    vit = dict(dim=getattr(m, "vit_dim", 256), depth=getattr(m, "vit_depth", 2),
+               heads=getattr(m, "vit_heads", 8), mlp_dim=m.mlp_dim, **seqs)
     if m.actor_type == "GaussianTransformer":
         if m.backbone == "simple_vit":
-            return ViTGaussianPolicy(**common)
+            return ViTGaussianPolicy(**common, **vit)
         return GoTPolicy(block=m.block, head=m.head, l_f_size=m.latent_size,
                          dim_head=m.dim_head, mlp_dim=m.mlp_dim,
                          image_size=tuple(m.image_size), patch_size=tuple(m.patch_size),
-                         emb_dropout=m.emb_dropout, **common)
+                         emb_dropout=m.emb_dropout, **common, **seqs)
     if m.actor_type == "GaussianConvNet":
         return GaussianPolicy(**common)
     if m.actor_type == "DeterministicTransformer":
         if m.backbone == "simple_vit":
-            return ViTDeterministicPolicy(**common)
+            return ViTDeterministicPolicy(**common, **vit)
         return DeterministicGoTPolicy(block=m.block, head=m.head,
                                       l_f_size=m.latent_size, dim_head=m.dim_head,
                                       mlp_dim=m.mlp_dim, **common)
@@ -351,13 +364,16 @@ def build_actor(cfg, dtype=None) -> nn.Module:
 def build_critic(cfg, dtype=None) -> nn.Module:
     m, s = cfg.model, cfg.sac
     common = dict(action_dim=s.action_dim, pstate_dim=s.pstate_dim, dtype=dtype)
+    seqs = dict(seq_shard=getattr(m, "seq_shard", False))
+    vit = dict(dim=getattr(m, "vit_dim", 256), depth=getattr(m, "vit_depth", 2),
+               heads=getattr(m, "vit_heads", 8), mlp_dim=m.mlp_dim, **seqs)
     if m.critic_type == "Transformer":
         if m.backbone == "simple_vit":
-            return ViTQNetwork(**common)
+            return ViTQNetwork(**common, **vit)
         return GoTQNetwork(block=m.block, head=m.head, l_f_size=m.latent_size,
                            dim_head=m.dim_head, mlp_dim=m.mlp_dim,
                            image_size=tuple(m.image_size), patch_size=tuple(m.patch_size),
-                           emb_dropout=m.emb_dropout, **common)
+                           emb_dropout=m.emb_dropout, **common, **seqs)
     if m.critic_type == "CNN":
         return QNetwork(**common)
     raise ValueError(f"unknown critic_type {m.critic_type!r}")

@@ -61,6 +61,7 @@ class _SimpleBlock(nn.Module):
     mlp_dim: int
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -68,7 +69,8 @@ class _SimpleBlock(nn.Module):
         h = LayerNorm(self.dim, name="attn_norm")(x)
         h = _BiaslessAttention(
             self.dim, self.heads, self.dim_head, attn_impl=self.attn_impl,
-            capture=self.capture, dtype=self.dtype, name="attn",
+            capture=self.capture, seq_shard=self.seq_shard, dtype=self.dtype,
+            name="attn",
         )(h)
         x = x + h
         return x + _SimpleFeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
@@ -83,6 +85,7 @@ class _BiaslessAttention(nn.Module):
     dim_head: int
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -100,7 +103,13 @@ class _BiaslessAttention(nn.Module):
             self.sow("intermediates", "attn", probs)
             out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
         else:
-            out = dot_product_attention(q, k, v, scale, impl=self.attn_impl)
+            out = None
+            if self.seq_shard:
+                from dgvit_tpu.parallel.ring_attention import (
+                    seq_sharded_attention)
+                out = seq_sharded_attention(q, k, v, scale)
+            if out is None:
+                out = dot_product_attention(q, k, v, scale, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return TorchLinear(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
 
@@ -117,13 +126,15 @@ class SimpleViT(nn.Module):
     channels: int = 1
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.patch_embed = TorchLinear(self.dim, dtype=self.dtype)
         self.transformer = _Stack(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-            attn_impl=self.attn_impl, capture=self.capture, dtype=self.dtype)
+            attn_impl=self.attn_impl, capture=self.capture,
+            seq_shard=self.seq_shard, dtype=self.dtype)
         self.norm_out = LayerNorm(self.dim)
         self.head_norm = LayerNorm(self.dim)
         self.head = TorchLinear(self.num_classes, dtype=self.dtype)
@@ -162,6 +173,7 @@ class _Stack(nn.Module):
     mlp_dim: int
     attn_impl: str = "auto"
     capture: bool = False
+    seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -169,5 +181,6 @@ class _Stack(nn.Module):
         for i in range(self.depth):
             x = _SimpleBlock(self.dim, self.heads, self.dim_head, self.mlp_dim,
                              attn_impl=self.attn_impl, capture=self.capture,
+                             seq_shard=self.seq_shard,
                              dtype=self.dtype, name=f"block_{i}")(x)
         return x

@@ -8,7 +8,14 @@ the ~10 op-boundary round trips of the unfused path. Norm statistics and
 softmax run fp32; matmul operands stay in the input dtype (bf16 -> full-rate
 MXU with fp32 accumulation).
 
-Differentiable via custom_vjp (backward recomputes through the XLA twin).
+Differentiable via custom_vjp. The backward is a SECOND fused Pallas kernel
+(`_block_bwd_kernel`): it recomputes the forward in-VMEM (flash-attention
+style — cheaper than round-tripping the (rows, mlp_dim) hidden and per-head
+probability tensors through HBM) and emits dx plus all 11 weight gradients,
+accumulated across the sequential TPU grid. Before round 2 the backward
+recomputed through an unfused XLA twin (~3 XLA-forward equivalents); the
+kernel version is ~2.5 Pallas-forward equivalents with no HBM activation
+traffic, which is what lifts SAC update throughput (BENCH.md round-2 row).
 """
 
 from __future__ import annotations
@@ -177,6 +184,260 @@ def _fused_block_fwd_impl(x, flat, *, heads: int, dim_head: int,
     return out[:, :n, :]
 
 
+def _gelu_grad32(z):
+    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), fp32, erf via _erf32."""
+    inv_sqrt2 = np.float32(0.7071067811865476)
+    inv_sqrt2pi = np.float32(0.3989422804014327)
+    phi = 0.5 * (1.0 + _erf32(z * inv_sqrt2))
+    return phi + z * inv_sqrt2pi * jnp.exp(-0.5 * z * z)
+
+
+def _ln_fwd_stats(x32, scale, bias, eps=1e-5):
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    v = jnp.mean(jnp.square(x32 - m), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(v + eps)
+    xhat = (x32 - m) * rstd
+    return xhat, rstd, xhat * scale + bias
+
+
+def _ln_bwd(dh32, xhat, rstd, scale):
+    """Given upstream grad dh (f32) of LN output, return (dx, dscale, dbias);
+    dscale/dbias summed over rows -> (1, d)."""
+    dxhat = dh32 * scale
+    dscale = jnp.sum(dh32 * xhat, axis=0, keepdims=True)
+    dbias = jnp.sum(dh32, axis=0, keepdims=True)
+    mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mean_dx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - mean_d - xhat * mean_dx)
+    return dx, dscale, dbias
+
+
+def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
+                      bout_ref, fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref,
+                      dx_ref, dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref,
+                      dbout_ref, dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref,
+                      dw2_ref, db2_ref,
+                      *, n_valid: int, heads: int, dim_head: int, tb: int,
+                      scale: float):
+    """Full block backward for one frame tile: recompute fwd in VMEM, then
+    reverse-mode by hand. Weight grads accumulate across the (sequential)
+    grid into constant-index output blocks."""
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    inner = heads * dim_head
+    cdt = x_ref.dtype
+    rows = tb * np_
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+                    dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    x32 = x_ref[...].reshape(rows, d).astype(jnp.float32)
+    dy32 = dy_ref[...].reshape(rows, d).astype(jnp.float32)
+    dy_c = dy32.astype(cdt)
+
+    # ---- recompute forward: LN1 -> qkv -> attention -> x1 ------------------
+    a_s32 = an_s_ref[...].astype(jnp.float32)
+    xhat1, rstd1, h1_32 = _ln_fwd_stats(x32, a_s32,
+                                        an_b_ref[...].astype(jnp.float32))
+    h1 = h1_32.astype(cdt)
+    qkv = jnp.dot(h1, wqkv_ref[...],
+                  preferred_element_type=jnp.float32).astype(cdt)
+
+    neg = jnp.finfo(jnp.float32).min
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
+    mask = col < n_valid
+
+    probs = []          # per (frame, head) softmax maps, kept in VMEM
+    outs = []
+    for f in range(tb):
+        row0 = f * np_
+        frame = jax.lax.slice(qkv, (row0, 0), (row0 + np_, 3 * inner))
+        head_outs = []
+        head_probs = []
+        for hd in range(heads):
+            q = jax.lax.slice(frame, (0, hd * dim_head),
+                              (np_, (hd + 1) * dim_head))
+            k = jax.lax.slice(frame, (0, inner + hd * dim_head),
+                              (np_, inner + (hd + 1) * dim_head))
+            v = jax.lax.slice(frame, (0, 2 * inner + hd * dim_head),
+                              (np_, 2 * inner + (hd + 1) * dim_head))
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(mask, s, neg)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+            head_probs.append(p32)
+            head_outs.append(jnp.dot(p32.astype(cdt), v,
+                                     preferred_element_type=jnp.float32)
+                             .astype(cdt))
+        probs.append(head_probs)
+        outs.append(jnp.concatenate(head_outs, axis=1))
+    o = jnp.concatenate(outs, axis=0)                       # (rows, inner) cdt
+    attn_out = jnp.dot(o, wout_ref[...], preferred_element_type=jnp.float32) \
+        + bout_ref[...].astype(jnp.float32)
+    x1 = x32 + attn_out
+
+    # ---- MLP forward+backward, chunked over the hidden dim -----------------
+    f_s32 = fn_s_ref[...].astype(jnp.float32)
+    xhat2, rstd2, h2_32 = _ln_fwd_stats(x1, f_s32,
+                                        fn_b_ref[...].astype(jnp.float32))
+    h2 = h2_32.astype(cdt)
+    mlp_dim = w1_ref.shape[1]
+    chunk = min(mlp_dim, 512)
+    dh2_32 = jnp.zeros((rows, d), jnp.float32)
+    for c0 in range(0, mlp_dim, chunk):
+        w1c = w1_ref[:, c0:c0 + chunk]
+        b1c = b1_ref[:, c0:c0 + chunk]
+        w2c = w2_ref[c0:c0 + chunk, :]
+        pre = jnp.dot(h2, w1c, preferred_element_type=jnp.float32) \
+            + b1c.astype(jnp.float32)
+        hid = (0.5 * pre * (1.0 + _erf32(pre * np.float32(0.7071067811865476)))
+               ).astype(cdt)
+        # dmlp = dy (y = x1 + mlp)
+        dhid = jax.lax.dot_general(          # dy @ w2c^T
+            dy_c, w2c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpre = dhid * _gelu_grad32(pre)
+        dpre_c = dpre.astype(cdt)
+        dw1_ref[:, c0:c0 + chunk] += jax.lax.dot_general(   # h2^T @ dpre
+            h2, dpre_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[:, c0:c0 + chunk] += jnp.sum(dpre, axis=0, keepdims=True)
+        dw2_ref[c0:c0 + chunk, :] += jax.lax.dot_general(   # hid^T @ dy
+            hid, dy_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh2_32 = dh2_32 + jax.lax.dot_general(              # dpre @ w1c^T
+            dpre_c, w1c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dy32, axis=0, keepdims=True)
+
+    dln2_x, dfs, dfb = _ln_bwd(dh2_32, xhat2, rstd2, f_s32)
+    dfn_s_ref[...] += dfs
+    dfn_b_ref[...] += dfb
+    g1 = dy32 + dln2_x                                      # dL/dx1 (f32)
+    g1_c = g1.astype(cdt)
+
+    # ---- attention backward -------------------------------------------------
+    dbout_ref[...] += jnp.sum(g1, axis=0, keepdims=True)
+    dwout_ref[...] += jax.lax.dot_general(                  # o^T @ g1
+        o, g1_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    do = jax.lax.dot_general(                               # g1 @ wout^T
+        g1_c, wout_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (rows, inner)
+
+    dq_frames, dk_frames, dv_frames = [], [], []
+    for f in range(tb):
+        row0 = f * np_
+        frame = jax.lax.slice(qkv, (row0, 0), (row0 + np_, 3 * inner))
+        do_f = jax.lax.slice(do, (row0, 0), (row0 + np_, inner))
+        dqs, dks, dvs = [], [], []
+        for hd in range(heads):
+            q = jax.lax.slice(frame, (0, hd * dim_head),
+                              (np_, (hd + 1) * dim_head))
+            k = jax.lax.slice(frame, (0, inner + hd * dim_head),
+                              (np_, inner + (hd + 1) * dim_head))
+            v = jax.lax.slice(frame, (0, 2 * inner + hd * dim_head),
+                              (np_, 2 * inner + (hd + 1) * dim_head))
+            p32 = probs[f][hd]
+            p_c = p32.astype(cdt)
+            do_h = jax.lax.slice(do_f, (0, hd * dim_head),
+                                 (np_, (hd + 1) * dim_head)).astype(cdt)
+            dv = jax.lax.dot_general(                       # p^T @ do_h
+                p_c, do_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(                       # do_h @ v^T
+                do_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(cdt)
+            dqs.append(jnp.dot(ds, k, preferred_element_type=jnp.float32))
+            dks.append(jax.lax.dot_general(                 # ds^T @ q
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dvs.append(dv)
+        dq_frames.append(jnp.concatenate(dqs, axis=1))
+        dk_frames.append(jnp.concatenate(dks, axis=1))
+        dv_frames.append(jnp.concatenate(dvs, axis=1))
+    dqkv = jnp.concatenate([jnp.concatenate(dq_frames, axis=0),
+                            jnp.concatenate(dk_frames, axis=0),
+                            jnp.concatenate(dv_frames, axis=0)], axis=1)
+    dqkv_c = dqkv.astype(cdt)
+
+    dwqkv_ref[...] += jax.lax.dot_general(                  # h1^T @ dqkv
+        h1, dqkv_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh1_32 = jax.lax.dot_general(                           # dqkv @ wqkv^T
+        dqkv_c, wqkv_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dln1_x, das, dab = _ln_bwd(dh1_32, xhat1, rstd1, a_s32)
+    dan_s_ref[...] += das
+    dan_b_ref[...] += dab
+
+    dx = g1 + dln1_x
+    dx_ref[...] = dx.reshape(tb, np_, d).astype(dx_ref.dtype)
+
+
+def _fused_block_bwd_impl(x, dy, flat, *, heads: int, dim_head: int,
+                          interpret: bool = False):
+    """Pad, launch the backward kernel, unpad. Returns (dx, dflat)."""
+    b, n, d = x.shape
+    inner = heads * dim_head
+    mlp_dim = flat[7].shape[1]
+    np_ = _round_up(n, 8)
+    xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+    dyp = jnp.pad(dy, ((0, 0), (0, np_ - n), (0, 0)))
+    tb = 8
+    while b % tb != 0:
+        tb //= 2
+    kern = functools.partial(_block_bwd_kernel, n_valid=n, heads=heads,
+                             dim_head=dim_head, tb=tb,
+                             scale=dim_head ** -0.5)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    grad_shapes = [(1, d), (1, d), (d, 3 * inner), (inner, d), (1, d),
+                   (1, d), (1, d), (d, mlp_dim), (1, mlp_dim),
+                   (mlp_dim, d), (1, d)]
+    outs = pl.pallas_call(
+        kern,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, np_, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, np_, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((1, d)), full((1, d)),
+            full((d, 3 * inner)), full((inner, d)), full((1, d)),
+            full((1, d)), full((1, d)),
+            full((d, mlp_dim)), full((1, mlp_dim)),
+            full((mlp_dim, d)), full((1, d)),
+        ],
+        out_specs=tuple(
+            [pl.BlockSpec((tb, np_, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            + [full(s) for s in grad_shapes]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((b, np_, d), x.dtype)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]),
+        cost_estimate=pl.CostEstimate(
+            flops=b * np_ * (6 * d * 3 * inner + 12 * heads * np_ * dim_head
+                             + 6 * inner * d + 12 * d * mlp_dim),
+            bytes_accessed=4 * b * np_ * d * 4,
+            transcendentals=b * np_ * (heads * np_ + 2 * mlp_dim),
+        ),
+        interpret=interpret,
+    )(xp, dyp, *flat)
+    dx = outs[0][:, :n, :]
+    dflat = tuple(g.astype(w.dtype) for g, w in zip(outs[1:], flat))
+    return dx, dflat
+
+
 def _block_xla(x, flat, *, heads: int, dim_head: int):
     """Reference twin (identical math, unfused) for the backward pass."""
     (an_s, an_b, wqkv, wout, bout, fn_s, fn_b, w1, b1, w2, b2) = flat
@@ -216,9 +477,8 @@ def _fwd(x, flat, heads, dim_head, interpret):
 
 def _bwd(heads, dim_head, interpret, res, g):
     x, flat = res
-    _, vjp = jax.vjp(
-        lambda x, f: _block_xla(x, f, heads=heads, dim_head=dim_head), x, flat)
-    return vjp(g)
+    return _fused_block_bwd_impl(x, g, flat, heads=heads, dim_head=dim_head,
+                                 interpret=interpret)
 
 
 fused_transformer_block.defvjp(_fwd, _bwd)

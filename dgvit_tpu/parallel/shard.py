@@ -58,10 +58,14 @@ def shard_batch(runtime: MeshRuntime, batch: Dict[str, Any]) -> Dict[str, Any]:
 def sharded_learn(agent: SACAgent, runtime: MeshRuntime):
     """Data/model-parallel jitted SAC step. Inputs carry their shardings
     (shard_sac_state / shard_batch); GSPMD propagates and inserts psums."""
+    from dgvit_tpu.core.mesh import use_mesh
+
     step = jax.jit(agent._train_step_impl, donate_argnums=(0,))
 
     def learn(state: SACTrainState, batch) -> Tuple[SACTrainState, Dict]:
-        with runtime.mesh:
+        # use_mesh also publishes the mesh so seq-sharded attention layers
+        # (models with seq_shard=True) route through ring attention
+        with use_mesh(runtime.mesh):
             return step(state, batch)
 
     return learn

@@ -66,3 +66,30 @@ def test_fused_kernel_backward_matches_flax(block_setup):
     g1 = np.asarray(jax.grad(loss_fused)(x))
     g2 = np.asarray(jax.grad(loss_ref)(x))
     np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-3)
+
+
+def test_fused_kernel_weight_grads_match_xla_twin(block_setup):
+    """The Pallas backward kernel emits all 11 weight gradients — compare
+    each against autodiff through the (flax-exact) XLA twin. Uses a
+    non-uniform cotangent so every grad path is exercised."""
+    x, blk, params = block_setup
+    flat = _block_params_flat(params, jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), x.shape[:2] + (D,))
+
+    def loss_fused(x, flat):
+        return (fused_transformer_block(x, flat, H, DH, True) * w).sum()
+
+    def loss_twin(x, flat):
+        return (_block_xla(x, flat, heads=H, dim_head=DH) * w).sum()
+
+    gx1, gf1 = jax.grad(loss_fused, argnums=(0, 1))(x, flat)
+    gx2, gf2 = jax.grad(loss_twin, argnums=(0, 1))(x, flat)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               atol=1e-4, rtol=1e-3)
+    names = ["an_s", "an_b", "wqkv", "wout", "bout", "fn_s", "fn_b",
+             "w1", "b1", "w2", "b2"]
+    for name, a, b in zip(names, gf1, gf2):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3,
+            err_msg=f"grad mismatch for {name}")

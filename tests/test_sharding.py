@@ -97,3 +97,54 @@ def test_data_only_mesh_runs():
     state, metrics = learn(state, shard_batch(runtime, make_batch(
         jax.random.PRNGKey(1), b=8)))
     assert np.isfinite(float(metrics["policy_loss"]))
+
+
+def test_seq_sharded_vit_matches_local():
+    """model.seq_shard=True routes attention through parallel/ring_attention
+    under an active seq>1 mesh; output must equal the local (unsharded)
+    forward (ring softmax is streamed, not approximated)."""
+    import numpy as np
+
+    from dgvit_tpu.core.mesh import MeshRuntime, use_mesh
+    from dgvit_tpu.models.policies import ViTGaussianPolicy
+
+    obs = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 40))
+    goal = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    local = ViTGaussianPolicy(dim=32, depth=1, heads=2, mlp_dim=64,
+                              seq_shard=False)
+    ring = ViTGaussianPolicy(dim=32, depth=1, heads=2, mlp_dim=64,
+                             seq_shard=True)
+    params = local.init(jax.random.PRNGKey(2), obs, goal)["params"]
+    m_ref, ls_ref = local.apply({"params": params}, obs, goal)
+
+    runtime = MeshRuntime.create(data=2, model=2, seq=2)
+    with use_mesh(runtime.mesh):
+        m_ring, ls_ring = jax.jit(
+            lambda p, o, g: ring.apply({"params": p}, o, g))(params, obs, goal)
+    np.testing.assert_allclose(np.asarray(m_ring), np.asarray(m_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ls_ring), np.asarray(ls_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_seq_shard_falls_back_when_tokens_indivisible():
+    """GoT has 65 tokens (goal CLS + 64 patches) — not divisible by seq=2;
+    seq_shard must silently fall back to local attention, same output."""
+    import numpy as np
+
+    from dgvit_tpu.core.mesh import MeshRuntime, use_mesh
+    from dgvit_tpu.models.policies import GoTPolicy
+
+    obs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 40))
+    goal = jax.random.normal(jax.random.PRNGKey(1), (2, 2))
+    kw = dict(block=1, head=2, l_f_size=32, mlp_dim=64,
+              image_size=(32, 40), patch_size=(16, 20), emb_dropout=0.0)
+    local = GoTPolicy(seq_shard=False, **kw)
+    ring = GoTPolicy(seq_shard=True, **kw)
+    params = local.init(jax.random.PRNGKey(2), obs, goal)["params"]
+    m_ref, _ = local.apply({"params": params}, obs, goal)
+    runtime = MeshRuntime.create(data=2, model=2, seq=2)
+    with use_mesh(runtime.mesh):
+        m_ring, _ = ring.apply({"params": params}, obs, goal)
+    np.testing.assert_allclose(np.asarray(m_ring), np.asarray(m_ref),
+                               atol=1e-6)
