@@ -64,6 +64,28 @@ def _bench_extra():
     print(json.dumps({"metric": "preprocessing frames/sec/chip",
                       "value": round(b * n_in / best, 1), "unit": "frames/s"}))
 
+    # Pallas PRNG noise-statistics ASSERTION (hardware-only correctness —
+    # pltpu.prng_* has no CPU lowering, so tests/test_pallas_preprocess.py
+    # skips these off-TPU; every bench run checks them on the real chip)
+    if jax.default_backend() == "tpu":
+        from dgvit_tpu.ops.preprocess import preprocess_depth
+
+        small = raw[:8]
+        out = np.asarray(preprocess_depth_pallas(small, jnp.int32(7),
+                                                 noise_level=50.0))
+        ref = np.asarray(preprocess_depth(small, jax.random.PRNGKey(7),
+                                          noise_level=50.0))
+        assert out.min() >= 0.0 and out.max() <= 1.0, "noise output range"
+        assert abs(float(out.mean()) - float(ref.mean())) < 0.01, \
+            f"noise mean drift: {out.mean():.4f} vs {ref.mean():.4f}"
+        assert abs(float(out.std()) - float(ref.std())) < 0.01, \
+            f"noise std drift: {out.std():.4f} vs {ref.std():.4f}"
+        again = np.asarray(preprocess_depth_pallas(small, jnp.int32(7),
+                                                   noise_level=50.0))
+        assert np.array_equal(out, again), "seeded noise not deterministic"
+        print(json.dumps({"metric": "pallas PRNG noise stats (on-chip)",
+                          "value": 1, "unit": "pass"}))
+
     # (4)+(5) fused SAC update throughput (replay batch resident on device)
     cfg = Config()
     agent = SACAgent(cfg, dtype=jnp.bfloat16)

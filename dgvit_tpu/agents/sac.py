@@ -99,6 +99,16 @@ class SACAgent:
         self.guidence_weight = float(s.guidence_weight)
         self.engage_weight = float(s.engage_weight)
         self.deterministic_actor = cfg.model.actor_type.startswith("Deterministic")
+        # unbatched observation rank: 2 for single-frame (H, W); 3 for the
+        # frame-stacked GoT 'channels' mode (C, H, W) and the 4-channel CNN
+        # Deterministic actor (H, W, C) — used by choose_action to decide
+        # whether to add a batch dim
+        self.frame_stack = int(getattr(getattr(cfg, "env", None),
+                                       "frame_stack", 4) or 4)
+        self.channels_obs = (
+            getattr(cfg.model, "patch_mode", "2d") == "channels"
+            or cfg.model.actor_type == "Deterministic")
+        self.obs_ndim = 3 if self.channels_obs else 2
         if self.deterministic_actor:
             # DRL.py:152-168: deterministic policies force alpha=0, no tuning
             self.auto_tune = False
@@ -129,7 +139,11 @@ class SACAgent:
         key = jax.random.PRNGKey(int(seed))
         k_actor, k_critic, k_rng = jax.random.split(key, 3)
         ih, iw = self.cfg.model.image_size
-        obs = jnp.zeros((1, ih, iw), jnp.float32)
+        if getattr(self.cfg.model, "patch_mode", "2d") == "channels":
+            # frame-stacked GoT (Imitation_learning.py:118-121 layout)
+            obs = jnp.zeros((1, self.frame_stack, ih, iw), jnp.float32)
+        else:
+            obs = jnp.zeros((1, ih, iw), jnp.float32)
         if self.cfg.model.actor_type == "Deterministic":
             obs_a = jnp.zeros((1, ih, iw, 4), jnp.float32)  # 4-chan CNN actor
         else:
@@ -199,7 +213,7 @@ class SACAgent:
         get a leading batch dim added and squeezed back."""
         obs = jnp.asarray(obs, jnp.float32)
         pobs = jnp.asarray(pobs, jnp.float32)
-        squeeze = obs.ndim == 2
+        squeeze = obs.ndim == self.obs_ndim
         if squeeze:
             obs, pobs = obs[None], pobs[None]
         if dropout is None:

@@ -59,6 +59,10 @@ class ModelConfig:
     vit_dim: int = 256
     vit_depth: int = 2
     vit_heads: int = 8
+    # GoT patch embedding: '2d' = channel-less GoalFormer.py:137-139 (live
+    # loop); 'channels' = the Imitation_learning.py:118-121 frame-stack
+    # variant, required when env.use_frame_stack is on.
+    patch_mode: str = "2d"
 
     def validate(self):
         ih, iw = self.image_size
@@ -70,6 +74,7 @@ class ModelConfig:
         }
         assert self.critic_type in {"Transformer", "CNN"}
         assert self.backbone in {"got", "simple_vit"}
+        assert self.patch_mode in {"2d", "channels"}
 
 
 @dataclass
@@ -126,6 +131,10 @@ class EnvConfig:
     dist_norm: float = 15.0           # distance clip/normalizer (env_lab.py:296)
     reward_clip: Tuple[float, float] = (-200.0, 500.0)
     frame_stack: int = 4
+    # The reference records 4-channel demos but disables stacking in the
+    # live loop (main.py:66-69,323 commented out). True enables the online
+    # frame-stacked path (model.patch_mode must be 'channels').
+    use_frame_stack: bool = False
 
     def validate(self):
         assert self.vis_sensor in {"image", "fish_image", "depth_image"}

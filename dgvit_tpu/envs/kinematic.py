@@ -21,23 +21,21 @@ import numpy as np
 
 from dgvit_tpu.envs.base import ResetResult, StepResult
 from dgvit_tpu.envs import reward as R
+from dgvit_tpu.envs.worlds import RRC, WorldPreset, get_world
 
-# (x0, x1, y0, y1) — active boxes of the RRC world (utils.py:78-86; the
-# always-False sixth clause is omitted here because nothing can collide
-# with a zero-area box)
-BOXES: List[Tuple[float, float, float, float]] = [
-    (3.6, 5.5, -3.5, 4.0), (-4.5, 4.0, -3.5, -1.8), (-3.5, 3.3, -1.6, 2.5),
-    (-5.0, -4.0, -3.5, 0.3), (-5.5, -4.0, 2.0, 4.0),
-    (-4.1, 0.1, 3.0, 4.0), (2.2, 3.8, 2.5, 4.0), (0.0, 2.3, 2.5, 4.0),
-]
-ARENA = (-5.5, 5.5, -3.6, 4.1)  # outer walls
+# Backwards-compatible module constants = the RRC training world
+# (utils.py:78-86; the always-False sixth clause is omitted because nothing
+# can collide with a zero-area box). Other layouts: envs/worlds.py presets.
+BOXES: List[Tuple[float, float, float, float]] = list(RRC.boxes)
+ARENA = RRC.arena  # outer walls
 
 
 _BOXES_ARR = np.asarray(BOXES, np.float64)  # (nb, 4): x0 x1 y0 y1
 
 
 def _ray_distances(px: float, py: float, bearings: np.ndarray,
-                   max_range: float) -> np.ndarray:
+                   max_range: float, boxes_arr: np.ndarray = _BOXES_ARR,
+                   arena=ARENA) -> np.ndarray:
     """Min distance per bearing to any box or arena wall (vectorized
     slab-method ray/AABB over all rays x boxes at once)."""
     dx = np.cos(bearings)[:, None]          # (nr, 1)
@@ -45,8 +43,8 @@ def _ray_distances(px: float, py: float, bearings: np.ndarray,
     eps = 1e-12
     inv_dx = 1.0 / np.where(np.abs(dx) < eps, eps, dx)
     inv_dy = 1.0 / np.where(np.abs(dy) < eps, eps, dy)
-    x0, x1 = _BOXES_ARR[None, :, 0], _BOXES_ARR[None, :, 1]
-    y0, y1 = _BOXES_ARR[None, :, 2], _BOXES_ARR[None, :, 3]
+    x0, x1 = boxes_arr[None, :, 0], boxes_arr[None, :, 1]
+    y0, y1 = boxes_arr[None, :, 2], boxes_arr[None, :, 3]
 
     tx1 = (x0 - px) * inv_dx
     tx2 = (x1 - px) * inv_dx
@@ -62,7 +60,7 @@ def _ray_distances(px: float, py: float, bearings: np.ndarray,
     best = np.minimum(d_boxes.min(axis=1), max_range)
 
     # arena walls (robot is inside; take positive exit distances)
-    ax0, ax1, ay0, ay1 = ARENA
+    ax0, ax1, ay0, ay1 = arena
     for bound, p, inv in ((ax0, px, inv_dx), (ax1, px, inv_dx),
                           (ay0, py, inv_dy), (ay1, py, inv_dy)):
         t = ((bound - p) * inv)[:, 0]
@@ -70,30 +68,46 @@ def _ray_distances(px: float, py: float, bearings: np.ndarray,
     return best
 
 
-def _box_clearance(x: float, y: float) -> float:
+def _box_clearance(x: float, y: float, boxes=None, arena=None) -> float:
     """Distance from (x, y) to the nearest obstacle box or arena wall."""
-    best = min(x - ARENA[0], ARENA[1] - x, y - ARENA[2], ARENA[3] - y)
-    for x0, x1, y0, y1 in BOXES:
+    boxes = BOXES if boxes is None else boxes
+    arena = ARENA if arena is None else arena
+    best = min(x - arena[0], arena[1] - x, y - arena[2], arena[3] - y)
+    for x0, x1, y0, y1 in boxes:
         dx = max(x0 - x, 0.0, x - x1)
         dy = max(y0 - y, 0.0, y - y1)
         best = min(best, math.hypot(dx, dy))
     return best
 
 
-def default_records(n: int = 32, seed: int = 0,
-                    clearance: float = 0.4) -> List[dict]:
+def default_records(n: int = 32, seed: int = 0, clearance: float = 0.4,
+                    world: Optional[WorldPreset] = None) -> List[dict]:
     """Random valid start/goal records in the reference npz layout
     (env_lab.py:103-105 keys xR,yR,xG,yG,quaterZ,quaterW,distance).
     check_pos's free space includes slivers tighter than the 0.2 m laser
-    collision radius, so a clearance margin keeps spawns collision-free."""
+    collision radius, so a clearance margin keeps spawns collision-free.
+    With no `world`, uses reward.check_pos (exact utils.py:77-89 semantics);
+    other worlds use their own box sets."""
     rng = np.random.default_rng(seed)
+    if world is None or world.name == "rrc":
+        boxes, arena = BOXES, ARENA
+        free = lambda x, y: R.check_pos(x, y)
+    else:
+        boxes, arena = list(world.boxes), world.arena
+
+        def free(x, y):
+            return not any(x0 <= x <= x1 and y0 <= y <= y1
+                           for x0, x1, y0, y1 in boxes)
+    lo_x, hi_x = arena[0] + 0.4, arena[1] - 0.4
+    lo_y, hi_y = arena[2] + 0.4, arena[3] - 0.4
     recs = []
     while len(recs) < n:
-        xR, yR = rng.uniform(-5, 5), rng.uniform(-3, 3.7)
-        xG, yG = rng.uniform(-5, 5), rng.uniform(-3, 3.7)
-        if not (R.check_pos(xR, yR) and R.check_pos(xG, yG)):
+        xR, yR = rng.uniform(lo_x, hi_x), rng.uniform(lo_y, hi_y)
+        xG, yG = rng.uniform(lo_x, hi_x), rng.uniform(lo_y, hi_y)
+        if not (free(xR, yR) and free(xG, yG)):
             continue
-        if _box_clearance(xR, yR) < clearance or _box_clearance(xG, yG) < clearance:
+        if _box_clearance(xR, yR, boxes, arena) < clearance or \
+                _box_clearance(xG, yG, boxes, arena) < clearance:
             continue
         d = math.hypot(xR - xG, yR - yG)
         if d < 1.0:
@@ -122,8 +136,18 @@ class KinematicNavEnv:
     def __init__(self, records: Optional[List[dict]] = None,
                  image_hw: Tuple[int, int] = (128, 160),
                  max_steps: int = 800, seed: int = 0,
-                 min_range: float = 0.2):
-        self.records = records or default_records(seed=seed)
+                 min_range: float = 0.2,
+                 world=None):
+        """`world`: None/'rrc' = training arena; a preset name or
+        WorldPreset (envs/worlds.py) swaps the layout — the Gazebo-free
+        analogue of launching gzserver with hospital.world."""
+        if isinstance(world, str):
+            world = get_world(world)
+        self.world = world or RRC
+        self._boxes_arr = np.asarray(self.world.boxes, np.float64)
+        self._arena = self.world.arena
+        self.records = records or default_records(
+            seed=seed, world=None if self.world.name == "rrc" else self.world)
         self.indice_position = 0
         self.image_hw = image_hw
         self.min_range = min_range
@@ -137,13 +161,15 @@ class KinematicNavEnv:
     def _laser(self) -> np.ndarray:
         bearings = self.theta + np.linspace(
             -self.LASER_FOV / 2, self.LASER_FOV / 2, self.LASER_RAYS)
-        return _ray_distances(self.x, self.y, bearings, self.LASER_MAX)
+        return _ray_distances(self.x, self.y, bearings, self.LASER_MAX,
+                              self._boxes_arr, self._arena)
 
     def _depth_image(self) -> np.ndarray:
         h, w = self.image_hw
         bearings = self.theta + np.linspace(
             self.CAM_FOV / 2, -self.CAM_FOV / 2, w)
-        d = _ray_distances(self.x, self.y, bearings, self.CAM_CLIP[1])
+        d = _ray_distances(self.x, self.y, bearings, self.CAM_CLIP[1],
+                           self._boxes_arr, self._arena)
         d = np.clip(d, *self.CAM_CLIP)
         # column depth replicated over rows with a mild vertical ramp so the
         # image has 2-D structure; normalized to [0,1] like state=img/255

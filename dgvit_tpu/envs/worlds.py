@@ -1,0 +1,70 @@
+"""World presets for the kinematic env — the RRC training arena plus an
+unseen-layout generalization world.
+
+The reference evaluates generalization by swapping gzserver's world file to
+`world/hospital.world` (README.md:43-51) — the AWS RoboMaker hospital: a
+central nurses station, elevator bays at the top wall, and bed/curtain bays
+along both side walls. `HOSPITAL` approximates that floor plan with axis-
+aligned boxes at a scale comparable to the RRC arena (goal distances < 15 m,
+env_lab.py:296 normalization), so a policy trained on RRC can be evaluated on
+a layout it never saw, Gazebo-free.
+
+Boxes are (x0, x1, y0, y1); arena is (xmin, xmax, ymin, ymax) outer walls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+Box = Tuple[float, float, float, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class WorldPreset:
+    name: str
+    boxes: Tuple[Box, ...]
+    arena: Tuple[float, float, float, float]
+
+
+# Training arena: obstacle boxes of utils.check_pos (utils.py:78-86) inside
+# the RRC outer walls — identical to the round-1 kinematic constants.
+RRC = WorldPreset(
+    name="rrc",
+    boxes=(
+        (3.6, 5.5, -3.5, 4.0), (-4.5, 4.0, -3.5, -1.8), (-3.5, 3.3, -1.6, 2.5),
+        (-5.0, -4.0, -3.5, 0.3), (-5.5, -4.0, 2.0, 4.0),
+        (-4.1, 0.1, 3.0, 4.0), (2.2, 3.8, 2.5, 4.0), (0.0, 2.3, 2.5, 4.0),
+    ),
+    arena=(-5.5, 5.5, -3.6, 4.1),
+)
+
+# Unseen generalization world (hospital.world floor plan, scaled ~1:2):
+# nurses station island at center, elevator block on the top wall, patient
+# bays (beds + curtains) along both side walls, a supply cart mid-corridor.
+HOSPITAL = WorldPreset(
+    name="hospital",
+    boxes=(
+        (-1.6, 1.6, 0.2, 2.2),      # nurses station island (pose 0, 1.5)
+        (-2.2, 2.2, 8.6, 10.0),     # elevator portals block (y ~ 19 scaled)
+        (-12.0, -10.2, -8.0, -5.6),  # patient bay SW (curtain row x ~ -11)
+        (-12.0, -10.2, -4.4, -2.0),  # patient bay W
+        (10.2, 12.0, -8.0, -5.6),   # patient bay SE (curtain row x ~ 11)
+        (10.2, 12.0, -4.4, -2.0),   # patient bay E
+        (-12.0, -10.4, 3.0, 5.4),   # exam room W
+        (10.4, 12.0, 3.0, 5.4),     # exam room E
+        (-5.6, -4.2, -5.2, -3.8),   # supply cart, lower corridor
+        (4.2, 5.6, 4.6, 6.0),       # wheelchair stand, upper corridor
+    ),
+    arena=(-12.0, 12.0, -9.0, 10.0),
+)
+
+_PRESETS = {w.name: w for w in (RRC, HOSPITAL)}
+
+
+def get_world(name: str) -> WorldPreset:
+    try:
+        return _PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown world {name!r}; available: {sorted(_PRESETS)}") from None

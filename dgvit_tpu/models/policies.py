@@ -347,7 +347,9 @@ def build_actor(cfg, dtype=None) -> nn.Module:
         return GoTPolicy(block=m.block, head=m.head, l_f_size=m.latent_size,
                          dim_head=m.dim_head, mlp_dim=m.mlp_dim,
                          image_size=tuple(m.image_size), patch_size=tuple(m.patch_size),
-                         emb_dropout=m.emb_dropout, **common, **seqs)
+                         emb_dropout=m.emb_dropout,
+                         patch_mode=getattr(m, "patch_mode", "2d"),
+                         **common, **seqs)
     if m.actor_type == "GaussianConvNet":
         return GaussianPolicy(**common)
     if m.actor_type == "DeterministicTransformer":
@@ -373,7 +375,9 @@ def build_critic(cfg, dtype=None) -> nn.Module:
         return GoTQNetwork(block=m.block, head=m.head, l_f_size=m.latent_size,
                            dim_head=m.dim_head, mlp_dim=m.mlp_dim,
                            image_size=tuple(m.image_size), patch_size=tuple(m.patch_size),
-                           emb_dropout=m.emb_dropout, **common, **seqs)
+                           emb_dropout=m.emb_dropout,
+                           patch_mode=getattr(m, "patch_mode", "2d"),
+                           **common, **seqs)
     if m.critic_type == "CNN":
         return QNetwork(**common)
     raise ValueError(f"unknown critic_type {m.critic_type!r}")

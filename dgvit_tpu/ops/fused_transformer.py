@@ -53,6 +53,24 @@ def _ln(x32, scale, bias, eps=1e-5):
     return (x32 - m) * jax.lax.rsqrt(v + eps) * scale + bias
 
 
+_SQRT_2_OVER_PI = np.float32(0.7978845608028654)
+_GELU_C = np.float32(0.044715)
+_INV_SQRT2 = np.float32(0.7071067811865476)
+
+
+def _gelu32(x, cdt):
+    """GELU on fp32 pre-activations. The kernel ablation (BENCH.md round 2)
+    shows the MLP is ALU-bound on this elementwise chain, so the bf16
+    compute path uses the tanh form (~6 VPU passes, one transcendental, no
+    divide; max |err| vs exact erf ~1e-3 — an order below bf16 matmul noise)
+    while fp32 keeps the A&S erf polynomial (fp32-exact, matches torch
+    nn.GELU default and the CPU parity gates)."""
+    if cdt == jnp.bfloat16:
+        inner = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+        return 0.5 * x * (1.0 + jnp.tanh(inner))
+    return 0.5 * x * (1.0 + _erf32(x * _INV_SQRT2))
+
+
 def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
                   fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                   *, n_valid: int, heads: int, dim_head: int, tb: int,
@@ -105,7 +123,8 @@ def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
     h = _ln(x32, fn_s_ref[...].astype(jnp.float32),
             fn_b_ref[...].astype(jnp.float32)).astype(cdt)
     # MLP with the hidden dim chunked so the (rows, mlp_dim) activation never
-    # materializes (VMEM budget); gelu is the fp32-exact erf polynomial above
+    # materializes (VMEM budget); gelu mode per _gelu32 (tanh in bf16,
+    # fp32-exact erf polynomial in fp32)
     mlp_dim = w1_ref.shape[1]
     chunk = min(mlp_dim, 512)
     mlp_out = b2_ref[...].astype(jnp.float32)
@@ -115,8 +134,7 @@ def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
         w2c = w2_ref[c0:c0 + chunk, :]
         hid = jnp.dot(h, w1c, preferred_element_type=jnp.float32) \
             + b1c.astype(jnp.float32)
-        hid = (0.5 * hid * (1.0 + _erf32(hid * np.float32(0.7071067811865476)))
-               ).astype(cdt)
+        hid = _gelu32(hid, cdt).astype(cdt)
         mlp_out = mlp_out + jnp.dot(hid, w2c,
                                     preferred_element_type=jnp.float32)
     x32 = x32 + mlp_out
@@ -184,11 +202,17 @@ def _fused_block_fwd_impl(x, flat, *, heads: int, dim_head: int,
     return out[:, :n, :]
 
 
-def _gelu_grad32(z):
-    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), fp32, erf via _erf32."""
-    inv_sqrt2 = np.float32(0.7071067811865476)
+def _gelu_grad32(z, cdt=jnp.float32):
+    """d(gelu)/dz matching _gelu32's mode: tanh-form derivative in bf16
+    compute, exact Phi + z*phi in fp32."""
+    if cdt == jnp.bfloat16:
+        z2 = z * z
+        inner = _SQRT_2_OVER_PI * (z + _GELU_C * z * z2)
+        t = jnp.tanh(inner)
+        dinner = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * z2)
+        return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * dinner
     inv_sqrt2pi = np.float32(0.3989422804014327)
-    phi = 0.5 * (1.0 + _erf32(z * inv_sqrt2))
+    phi = 0.5 * (1.0 + _erf32(z * _INV_SQRT2))
     return phi + z * inv_sqrt2pi * jnp.exp(-0.5 * z * z)
 
 
@@ -297,13 +321,12 @@ def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
         w2c = w2_ref[c0:c0 + chunk, :]
         pre = jnp.dot(h2, w1c, preferred_element_type=jnp.float32) \
             + b1c.astype(jnp.float32)
-        hid = (0.5 * pre * (1.0 + _erf32(pre * np.float32(0.7071067811865476)))
-               ).astype(cdt)
+        hid = _gelu32(pre, cdt).astype(cdt)
         # dmlp = dy (y = x1 + mlp)
         dhid = jax.lax.dot_general(          # dy @ w2c^T
             dy_c, w2c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dpre = dhid * _gelu_grad32(pre)
+        dpre = dhid * _gelu_grad32(pre, cdt)
         dpre_c = dpre.astype(cdt)
         dw1_ref[:, c0:c0 + chunk] += jax.lax.dot_general(   # h2^T @ dpre
             h2, dpre_c, dimension_numbers=(((0,), (0,)), ((), ())),

@@ -85,11 +85,16 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--out", default="results")
+    p.add_argument("--world", default="rrc",
+                   help="kinematic world preset (rrc | hospital) — "
+                        "'hospital' is the unseen-layout generalization "
+                        "eval (reference README.md:43-51, hospital.world)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
     env = KinematicNavEnv(seed=cfg.train.seed,
-                          image_hw=tuple(cfg.model.image_size))
+                          image_hw=tuple(cfg.model.image_size),
+                          world=args.world)
     actor = build_actor(cfg)
     template = actor.init(jax.random.PRNGKey(0),
                           np.zeros((1,) + tuple(cfg.model.image_size)),

@@ -37,10 +37,39 @@ from dgvit_tpu.replay.buffer import reference_schema
 from dgvit_tpu.utils import MetricsLogger, RewardCurve
 
 
+class FrameStacker:
+    """Online (C, H, W) frame stacking for model.patch_mode='channels'.
+    The reference records 4-channel demos (component #23) but comments the
+    live concatenation out (main.py:66-69,323); env.use_frame_stack=True
+    enables it here."""
+
+    def __init__(self, depth: int):
+        self.depth = int(depth)
+        self._frames = None
+
+    def reset(self, frame: np.ndarray) -> np.ndarray:
+        self._frames = [frame] * self.depth
+        return np.stack(self._frames)
+
+    def push(self, frame: np.ndarray) -> np.ndarray:
+        self._frames = self._frames[1:] + [frame]
+        return np.stack(self._frames)
+
+
+def _maybe_stacker(cfg: Config) -> Optional[FrameStacker]:
+    if getattr(cfg.env, "use_frame_stack", False):
+        if cfg.model.patch_mode != "channels":
+            raise ValueError(
+                "env.use_frame_stack=True needs model.patch_mode='channels'")
+        return FrameStacker(cfg.env.frame_stack)
+    return None
+
+
 def evaluate(env: Env, agent: SACAgent, state, rng: RngStream,
              max_steps: int, l_scale: float, a_scale: float,
              max_action: float = 1.0, eval_episodes: int = 10,
-             logger: Optional[MetricsLogger] = None, epoch: int = 0):
+             logger: Optional[MetricsLogger] = None, epoch: int = 0,
+             stacker: Optional[FrameStacker] = None):
     """main.py:55-114: N deterministic episodes, mean reward + collisions."""
     env.collision = 0
     ep = 0
@@ -49,6 +78,8 @@ def evaluate(env: Env, agent: SACAgent, state, rng: RngStream,
         count = 0
         r = env.reset()
         state_obs = np.squeeze(r.state, -1) if r.state.ndim == 3 else r.state
+        if stacker:
+            state_obs = stacker.reset(state_obs)
         goal = r.to_goal
         avg_reward = 0.0
         done = False
@@ -66,6 +97,8 @@ def evaluate(env: Env, agent: SACAgent, state, rng: RngStream,
                 break
             avg_reward += s.reward if count > 0 else 0.0
             state_obs = np.squeeze(s.state, -1) if s.state.ndim == 3 else s.state
+            if stacker:
+                state_obs = stacker.push(state_obs)
             goal = s.to_goal
             done = s.done
             count += 1
@@ -125,11 +158,13 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
     curve = RewardCurve()
 
     ih, iw = cfg.model.image_size
+    stacker = _maybe_stacker(cfg)
+    obs_shape = (e.frame_stack, ih, iw) if stacker else (ih, iw)
     # uniform runs use the plain ring buffer: no sum-tree writes, no IS
     # weights/indexes riding into the jitted step as dead pytree leaves
     buf_cls = PrioritizedReplayBuffer if s.prioritized_replay else ReplayBuffer
     buf = buf_cls(
-        s.buffer_size, reference_schema((ih, iw), s.action_dim, s.pstate_dim),
+        s.buffer_size, reference_schema(obs_shape, s.action_dim, s.pstate_dim),
         seed=t.seed)
 
     expert_buf = None
@@ -140,11 +175,22 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
             # expert demos are sampled uniformly in the reference
             expert_buf = ReplayBuffer(
                 data["obs"].shape[0] + 1,
-                reference_schema((ih, iw), s.action_dim, s.pstate_dim,
+                reference_schema(obs_shape, s.action_dim, s.pstate_dim,
                                  expert=True), seed=t.seed)
-            obs = data["obs"][..., 0] if data["obs"].ndim == 4 else data["obs"]
-            nxt = (data["next_obs"][..., 0] if data["next_obs"].ndim == 4
-                   else data["next_obs"])
+            if stacker:
+                # 4-channel demos (N, H, W, C) -> (N, C, H, W); single-frame
+                # demos get channel-replicated to the stack depth
+                def to_stack(a):
+                    if a.ndim == 4:
+                        return a.transpose(0, 3, 1, 2)
+                    return np.repeat(a[:, None], e.frame_stack, axis=1)
+                obs = to_stack(data["obs"])
+                nxt = to_stack(data["next_obs"])
+            else:
+                obs = (data["obs"][..., 0] if data["obs"].ndim == 4
+                       else data["obs"])
+                nxt = (data["next_obs"][..., 0] if data["next_obs"].ndim == 4
+                       else data["next_obs"])
             n = obs.shape[0]
             expert_buf.add(obs=obs, act_exp=data["act"],
                            pobs=data["goal"][:, :2],
@@ -171,6 +217,8 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         episode_reward = 0.0
         r = env.reset()
         obs = np.squeeze(r.state, -1) if r.state.ndim == 3 else r.state
+        if stacker:
+            obs = stacker.reset(obs)
         goal = r.to_goal
         done = False
         bad_init = False
@@ -198,6 +246,8 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
             sres = env.step(a_in, timestep)
             next_obs = (np.squeeze(sres.state, -1) if sres.state.ndim == 3
                         else sres.state)
+            if stacker:
+                next_obs = stacker.push(next_obs)
             goal = sres.to_goal
             done = sres.done
 
@@ -268,7 +318,8 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
             reward_threshold = mean_r
             avg_reward, nb_col = evaluate(
                 env, agent, state, rng, e.max_steps, e.linear_cmd_scale,
-                e.angular_cmd_scale, max_action, t.eval_epoch, logger, ep_real)
+                e.angular_cmd_scale, max_action, t.eval_epoch, logger, ep_real,
+                stacker=_maybe_stacker(cfg))
             if avg_reward > save_threshold or nb_col < 6:
                 name = ckpt.reference_name(
                     f"eval_{t.desc}_{cntr2}", int(avg_reward), t.seed, nb_col)
@@ -317,6 +368,8 @@ def main(argv=None):
                    help="reference-format config.yaml to translate")
     p.add_argument("--env", default="kinematic",
                    choices=["kinematic", "replay", "ros2"])
+    p.add_argument("--world", default="rrc",
+                   help="kinematic world preset (rrc | hospital)")
     p.add_argument("--expert-glob", default=None)
     p.add_argument("--out", default="results")
     p.add_argument("--episodes", type=int, default=None)
@@ -332,7 +385,8 @@ def main(argv=None):
 
     if args.env == "kinematic":
         env = KinematicNavEnv(seed=cfg.train.seed,
-                              image_hw=tuple(cfg.model.image_size))
+                              image_hw=tuple(cfg.model.image_size),
+                              world=args.world)
     elif args.env == "replay":
         from dgvit_tpu.envs import ReplayEnv
         env = ReplayEnv(glob_pattern=args.expert_glob)

@@ -192,3 +192,53 @@ def test_default_records_respect_obstacles():
         assert R.check_pos(rec["xR"], rec["yR"])
         assert R.check_pos(rec["xG"], rec["yG"])
         assert rec["distance"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# world presets (round 2: unseen-layout generalization, hospital.world)
+# ---------------------------------------------------------------------------
+
+def test_world_presets_registry():
+    from dgvit_tpu.envs.worlds import RRC, HOSPITAL, get_world
+
+    assert get_world("rrc") is RRC
+    assert get_world("hospital") is HOSPITAL
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="unknown world"):
+        get_world("moonbase")
+    # hospital boxes must all lie inside its arena
+    ax0, ax1, ay0, ay1 = HOSPITAL.arena
+    for x0, x1, y0, y1 in HOSPITAL.boxes:
+        assert ax0 <= x0 < x1 <= ax1 and ay0 <= y0 < y1 <= ay1
+
+
+def test_hospital_env_runs_and_differs_from_rrc():
+    from dgvit_tpu.envs.kinematic import KinematicNavEnv, default_records
+    from dgvit_tpu.envs.worlds import HOSPITAL
+
+    env = KinematicNavEnv(seed=3, image_hw=(32, 40), world="hospital")
+    r = env.reset()
+    assert r.state.shape == (32, 40, 1)
+    s = env.step([0.3, 0.0], 0)
+    assert np.isfinite(s.reward)
+    # records respect the hospital obstacles
+    for rec in default_records(n=16, seed=1, world=HOSPITAL):
+        for x0, x1, y0, y1 in HOSPITAL.boxes:
+            assert not (x0 <= rec["xR"] <= x1 and y0 <= rec["yR"] <= y1)
+            assert not (x0 <= rec["xG"] <= x1 and y0 <= rec["yG"] <= y1)
+    # different geometry -> different depth images from the same pose
+    env_rrc = KinematicNavEnv(seed=3, image_hw=(32, 40))
+    env.x = env_rrc.x = 0.0
+    env.y = env_rrc.y = -3.0
+    env.theta = env_rrc.theta = 1.57
+    assert not np.allclose(env._depth_image(), env_rrc._depth_image())
+
+
+def test_rrc_default_records_unchanged_by_world_refactor():
+    from dgvit_tpu.envs.kinematic import default_records
+    from dgvit_tpu.envs.worlds import RRC
+
+    a = default_records(n=8, seed=5)
+    b = default_records(n=8, seed=5, world=RRC)
+    for ra, rb in zip(a, b):
+        assert ra == rb

@@ -93,3 +93,37 @@ def test_fused_kernel_weight_grads_match_xla_twin(block_setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3,
             err_msg=f"grad mismatch for {name}")
+
+
+def test_fused_kernel_bf16_tanh_gelu_close(block_setup):
+    """bf16 compute uses the tanh-form gelu (ALU-bound MLP, BENCH.md r2);
+    its deviation from the exact-erf flax block must stay within the bf16
+    noise envelope."""
+    x, blk, params = block_setup
+    ref = np.asarray(blk.apply({"params": params}, x))
+    flat = _block_params_flat(params, jnp.bfloat16)
+    fused = np.asarray(
+        fused_transformer_block(x.astype(jnp.bfloat16), flat, H, DH, True)
+    ).astype(np.float32)
+    err = np.abs(fused - ref)
+    assert err.max() < 0.15, f"max {err.max()}"  # bf16 mantissa ~ 2^-8
+    assert err.mean() < 0.02
+
+
+def test_fused_kernel_bf16_backward_close(block_setup):
+    x, blk, params = block_setup
+    flat = _block_params_flat(params, jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss_fused(x):
+        return fused_transformer_block(x, flat, H, DH, True)\
+            .astype(jnp.float32).sum()
+
+    def loss_ref(x):
+        return blk.apply({"params": params}, x).sum()
+
+    g1 = np.asarray(jax.grad(loss_fused)(xb)).astype(np.float32)
+    g2 = np.asarray(jax.grad(loss_ref)(x))
+    # direction must agree strongly; magnitudes carry bf16 noise
+    cos = (g1 * g2).sum() / (np.linalg.norm(g1) * np.linalg.norm(g2))
+    assert cos > 0.99, f"cosine {cos}"
