@@ -125,11 +125,37 @@ def _bench_extra():
     print(json.dumps({"metric": "SAC train throughput",
                       "value": round(bs / dt, 1), "unit": "transitions/s"}))
 
-    # p50 single-frame action latency (BASELINE.md 'tracked per config');
-    # on a tunneled backend this is dominated by dispatch RTT — the on-chip
-    # compute is microseconds (see headline throughput)
+    # p50 single-frame action latency. Two numbers:
+    #  * on-device: N chained single-frame forwards inside ONE jitted scan
+    #    (each iteration's goal input depends on the previous action, so
+    #    iterations serialize exactly like a control loop) — this is the
+    #    per-step latency a robot control loop pays on the chip itself
+    #  * end-to-end: includes the tunneled backend's dispatch RTT on this
+    #    machine (not a device property)
+    n_lat = 256
+    actor = agent.actor
+
+    @jax.jit
+    def lat_loop(params, obs1, goal1):
+        def body(g, _):
+            mean, _ls = actor.apply({"params": params}, obs1[None], g[None])
+            a = jnp.tanh(mean.astype(jnp.float32))[0]
+            return a, ()
+        g, _ = jax.lax.scan(body, goal1, None, length=n_lat)
+        return g
+
     obs1 = jnp.zeros((128, 160))
     goal1 = jnp.zeros((2,))
+    g = lat_loop(state.actor_params, obs1, goal1)
+    float(g.sum())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(lat_loop(state.actor_params, obs1, goal1).sum())
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"metric": "on-device single-frame action latency",
+                      "value": round(best / n_lat * 1e3, 3), "unit": "ms"}))
+
     key = jax.random.PRNGKey(2)
     a = agent.choose_action(state, obs1, goal1, key, evaluate=True)
     np.asarray(a)
@@ -138,7 +164,7 @@ def _bench_extra():
         t0 = time.perf_counter()
         np.asarray(agent.choose_action(state, obs1, goal1, key, evaluate=True))
         lats.append(time.perf_counter() - t0)
-    print(json.dumps({"metric": "p50 single-frame action latency",
+    print(json.dumps({"metric": "p50 single-frame action latency (tunnel RTT)",
                       "value": round(sorted(lats)[len(lats) // 2] * 1e3, 3),
                       "unit": "ms"}))
 

@@ -85,6 +85,11 @@ class SACAgent:
 
     def __init__(self, cfg: Config, dtype=None):
         self.cfg = cfg
+        if dtype is None and getattr(cfg.model, "compute_dtype",
+                                     "float32") == "bfloat16":
+            # model.compute_dtype drives the TPU fast path (bf16 matmuls,
+            # fp32 params/accumulation) without callers threading a dtype
+            dtype = jnp.bfloat16
         self.actor = build_actor(cfg, dtype=dtype)
         self.critic = build_critic(cfg, dtype=dtype)
         s = cfg.sac

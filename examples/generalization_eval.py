@@ -1,0 +1,103 @@
+"""Unseen-world generalization experiment — the Gazebo-free analogue of the
+reference's hospital.world evaluation (README.md:43-51): train a policy in
+the RRC arena, then evaluate it on BOTH the training arena and the hospital
+layout it never saw.
+
+Pipeline (all on-device, kinematic env):
+  1. BC warm-start from scripted-pilot demos recorded in the RRC arena
+     (the PRE_TRAIN workflow, main.py:272-274)
+  2. SAC fine-tuning in the RRC arena (train_rl driver)
+  3. 30-episode evals on rrc and hospital presets (testing.py protocol)
+
+Run: PYTHONPATH=. python examples/generalization_eval.py
+     [--bc-episodes 100 --bc-epochs 120 --rl-episodes 80 --eval-episodes 30]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from dgvit_tpu.agents.bc import BCTrainer
+from dgvit_tpu.config import Config
+from dgvit_tpu.core import checkpoint as ckpt
+from dgvit_tpu.envs import KinematicNavEnv
+from dgvit_tpu.models.policies import GoTPolicy
+from dgvit_tpu.train.demo_record import record_episodes, scripted_pilot
+from dgvit_tpu.train.evaluate import run_eval
+from dgvit_tpu.train.train_bc import load_bc_dataset
+from dgvit_tpu.train.train_rl import train
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--bc-episodes", type=int, default=100)
+    p.add_argument("--bc-epochs", type=int, default=120)
+    p.add_argument("--rl-episodes", type=int, default=80)
+    p.add_argument("--eval-episodes", type=int, default=30)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    out = Path(args.out or tempfile.mkdtemp(prefix="gen_eval_"))
+    print(f"workdir: {out}", flush=True)
+
+    cfg = Config()
+    cfg.model.compute_dtype = "bfloat16"  # TPU fast path
+    cfg.train.pre_buffer = False
+    cfg.train.plot_interval = 10 ** 9
+    cfg.train.eval_threshold = 10 ** 9   # no mid-train eval pauses
+    cfg.env.max_steps = 200
+    l_s, a_s = cfg.env.linear_cmd_scale, cfg.env.angular_cmd_scale
+
+    # ---- 1. demos + BC (deployment-consistent action units) ----------------
+    def pilot_norm(obs, goal, t):
+        v, w = scripted_pilot(obs, goal, t)
+        return [np.clip(v / l_s - 1.0, -1, 1), np.clip(w / a_s, -1, 1)]
+
+    env = KinematicNavEnv(seed=0)
+    paths = record_episodes(env, pilot_norm, str(out / "demos"),
+                            episodes=args.bc_episodes, max_steps=200,
+                            action_to_env=lambda a: [(a[0] + 1) * l_s,
+                                                     a[1] * a_s])
+    print(f"recorded {len(paths)} demo episodes", flush=True)
+    obs, act, goal = load_bc_dataset(str(out / "demos" / "RRC" / "jax" / "*.npz"))
+    print(f"BC dataset: {obs.shape[0]} transitions", flush=True)
+
+    policy = GoTPolicy(final_norm="rms", emb_dropout=0.0)
+    tr = BCTrainer(model=policy, batch_size=64, seed=1)
+    best, hist = tr.fit(obs, goal, act, epochs=args.bc_epochs, to_chw=False)
+    print(f"BC val RMSE: {min(hist['val']):.4f}", flush=True)
+    ckpt.save_params_npz(str(out / "il"), "bc_warm", best)
+
+    # ---- 2. SAC fine-tune in the RRC arena ---------------------------------
+    cfg.train.pre_train = True
+    cfg.train.pre_train_model = str(out / "il" / "bc_warm")
+    env_rl = KinematicNavEnv(seed=1)
+    res = train(cfg, env_rl, out_dir=str(out / "rl"),
+                max_episodes=args.rl_episodes)
+    print(f"SAC: {res['successes']} goals in {res['episodes']} episodes, "
+          f"max mean reward {res['max_mean_reward']:.1f}", flush=True)
+
+    # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
+    actor_params = res["state"].actor_params
+    results = {}
+    for world in ("rrc", "hospital"):
+        ev = KinematicNavEnv(seed=7, world=world)
+        r = run_eval(cfg, ev, actor_params, max_episodes=args.eval_episodes,
+                     out_dir=str(out / "eval"), name=f"gen_{world}")
+        results[world] = r["success_rate"]
+        print(f"[{world}] success rate: {r['success_rate'] * 100:.1f}% "
+              f"({r['successes']}/{args.eval_episodes})", flush=True)
+
+    print(json.dumps({"rrc": results["rrc"], "hospital": results["hospital"],
+                      "bc_val_rmse": float(min(hist["val"])),
+                      "sac_goals": res["successes"]}))
+
+
+if __name__ == "__main__":
+    main()

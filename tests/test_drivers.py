@@ -261,3 +261,34 @@ def test_frame_stack_requires_channels_patch_mode(tmp_path):
     env = KinematicNavEnv(seed=12, image_hw=(32, 40))
     with _pytest.raises(ValueError, match="channels"):
         train(cfg, env, out_dir=str(tmp_path), max_episodes=1)
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    """Checkpoint/resume (SURVEY §5): a crashed run restarted with
+    resume=True must pick up the saved train state (params + step counter),
+    not restart from init — the elastic-recovery piece the reference lacks."""
+    import jax
+    from dgvit_tpu.agents import SACAgent
+    from dgvit_tpu.core import checkpoint as ckpt
+
+    cfg = tiny_cfg(tmp_path, episodes=2)
+    cfg.env.max_steps = 10
+    env = KinematicNavEnv(seed=13, image_hw=(32, 40))
+    out1 = train(cfg, env, out_dir=str(tmp_path), max_episodes=2)
+    saved = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+             jax.tree_util.tree_flatten_with_path(
+                 out1["state"].actor_params)[0]}
+    itera1 = int(out1["state"].itera)
+    assert itera1 > 0
+    assert list((tmp_path / "checkpoints").glob("step_*"))
+
+    # "restart the process": fresh train() with resume=True, 0 new episodes
+    env2 = KinematicNavEnv(seed=13, image_hw=(32, 40))
+    out2 = train(cfg, env2, out_dir=str(tmp_path), max_episodes=0,
+                 resume=True)
+    got = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(
+               out2["state"].actor_params)[0]}
+    assert int(out2["state"].itera) == itera1
+    for k in saved:
+        np.testing.assert_array_equal(saved[k], got[k])

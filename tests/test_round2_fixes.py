@@ -219,3 +219,23 @@ def test_attention_fix_off_trains_trunk():
     trans_moved = [k for k in before if k.startswith("['trans']")
                    and not np.array_equal(before[k], after[k])]
     assert trans_moved, "trunk should train when the fix flag is off"
+
+
+def test_compute_dtype_config_drives_agent_dtype():
+    """model.compute_dtype='bfloat16' must reach the model modules (it was a
+    dead knob before round 2)."""
+    import jax.numpy as jnp
+
+    from dgvit_tpu.agents import SACAgent
+
+    cfg = _tiny_cfg()
+    cfg.model.compute_dtype = "bfloat16"
+    agent = SACAgent(cfg)
+    assert agent.actor.dtype == jnp.bfloat16
+    assert agent.critic.dtype == jnp.bfloat16
+    # params still fp32 (mixed precision: bf16 compute, fp32 master weights)
+    state = agent.init_state(0)
+    leaf = jax.tree_util.tree_leaves(state.actor_params)[0]
+    assert leaf.dtype == jnp.float32
+    # default stays fp32
+    assert SACAgent(_tiny_cfg()).actor.dtype is None
