@@ -269,6 +269,10 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                     if use_guided or (t.human_intervention
                                       and intervention is not None):
                         ab = buf.sample(s.batch_size)
+                        # PER bookkeeping keys must not ride into the jitted
+                        # guided step as dead pytree leaves
+                        ab.pop("weights", None)
+                        ab.pop("indexes", None)
                         if expert_buf is not None:
                             k = agent.expert_batch_size(
                                 expert_size, buf.get_stored_size(),

@@ -112,3 +112,33 @@ def test_vit_policy_parity(ref_vit):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(j_logstd), t_logstd.numpy(),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_vit_deterministic_policy_parity(ref_vit):
+    """vit_sac_network.DeterministicTransformerPolicy (:375-441) vs
+    ViTDeterministicPolicy: transplanted weights, identical actions."""
+    import torch
+
+    from dgvit_tpu.models.policies import ViTDeterministicPolicy
+
+    _, vit_sac = ref_vit
+    torch.manual_seed(3)
+    tp = vit_sac.DeterministicTransformerPolicy(2, 2).eval()
+    obs = np.random.default_rng(3).random((2, 4, 128, 160)).astype(np.float32)
+    goal = np.random.default_rng(4).random((2, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        t_act = tp.forward([torch.tensor(obs), torch.tensor(goal)]).numpy()
+
+    sd = tp.state_dict()
+    params = {
+        "trans": simple_vit_params_from_torch(sd, "trans.", depth=2),
+        "fc_embed": _linear(sd, "fc_embed"),
+        "fc1": _linear(sd, "fc1"),
+        "fc2": _linear(sd, "fc2"),
+        "mean_linear": _linear(sd, "mean_linear"),
+    }
+    model = ViTDeterministicPolicy(attn_impl="xla")
+    j_act = model.apply({"params": params}, jnp.asarray(obs),
+                        jnp.asarray(goal))
+    np.testing.assert_allclose(np.asarray(j_act), t_act, atol=3e-5, rtol=1e-4)
