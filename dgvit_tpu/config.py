@@ -105,6 +105,11 @@ class SACConfig:
     # update producing non-finite losses is discarded (params/opt/alpha roll
     # back; the step counter still advances) instead of poisoning training.
     nan_guard: bool = False
+    # Overlap replay sampling + H2D transfer with the device step via a
+    # background BatchPrefetcher thread (replay/staging.py). Batches are up
+    # to `depth` steps stale relative to the newest transition — a deliberate
+    # deviation from the reference's sample-after-store ordering, so opt-in.
+    prefetch_batches: bool = False
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0

@@ -15,6 +15,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -81,6 +82,9 @@ class ReplayBuffer:
     def __init__(self, capacity: int, schema: Dict, seed: int = 0,
                  alpha: float = 0.6):
         self._lib = _load_lib()
+        # the C++ core is single-threaded by design; this lock serializes it
+        # so a BatchPrefetcher thread can sample while the env loop adds
+        self._lock = threading.Lock()
         self.capacity = int(capacity)
         self.schema = _normalize_schema(schema)
         self._names = list(self.schema)
@@ -123,7 +127,8 @@ class ReplayBuffer:
             arrs.append(a)
         ptrs = (ctypes.c_void_p * len(arrs))(*[
             a.ctypes.data_as(ctypes.c_void_p).value for a in arrs])
-        self._lib.rb_add(self._h, n, ptrs)
+        with self._lock:
+            self._lib.rb_add(self._h, n, ptrs)
         return n
 
     # -- reads -------------------------------------------------------------
@@ -144,13 +149,15 @@ class ReplayBuffer:
         return out
 
     def sample(self, batch_size: int) -> Dict[str, np.ndarray]:
-        stored = self.get_stored_size()
-        if stored == 0:
-            raise ValueError("empty buffer")
-        idx = np.empty(batch_size, np.int64)
-        self._lib.rb_sample_uniform(
-            self._h, batch_size, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        return self._gather(idx)
+        with self._lock:
+            stored = int(self._lib.rb_stored_size(self._h))
+            if stored == 0:
+                raise ValueError("empty buffer")
+            idx = np.empty(batch_size, np.int64)
+            self._lib.rb_sample_uniform(
+                self._h, batch_size,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return self._gather(idx)
 
     # -- persistence (cpprb save/load_transitions, DRL.py:505-510) ----------
     def save_transitions(self, file: str):
@@ -176,16 +183,17 @@ class PrioritizedReplayBuffer(ReplayBuffer):
     prioritized = True
 
     def sample(self, batch_size: int, beta: float = 0.4) -> Dict[str, np.ndarray]:
-        stored = self.get_stored_size()
-        if stored == 0:
-            raise ValueError("empty buffer")
-        idx = np.empty(batch_size, np.int64)
-        w = np.empty(batch_size, np.float64)
-        self._lib.rb_sample_prioritized(
-            self._h, batch_size, beta,
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        out = self._gather(idx)
+        with self._lock:
+            stored = int(self._lib.rb_stored_size(self._h))
+            if stored == 0:
+                raise ValueError("empty buffer")
+            idx = np.empty(batch_size, np.int64)
+            w = np.empty(batch_size, np.float64)
+            self._lib.rb_sample_prioritized(
+                self._h, batch_size, beta,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            out = self._gather(idx)
         out["weights"] = w.astype(np.float32)
         out["indexes"] = idx
         return out
@@ -193,6 +201,10 @@ class PrioritizedReplayBuffer(ReplayBuffer):
     def update_priorities(self, indexes: np.ndarray, priorities: np.ndarray):
         idx = np.ascontiguousarray(indexes, np.int64)
         pr = np.ascontiguousarray(priorities, np.float64)
+        with self._lock:
+            self._update_priorities_locked(idx, pr)
+
+    def _update_priorities_locked(self, idx, pr):
         self._lib.rb_update_priorities(
             self._h, len(idx),
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -34,6 +34,7 @@ from dgvit_tpu.envs import Env, KinematicNavEnv
 from dgvit_tpu.envs.replay_env import load_demo_npz
 from dgvit_tpu.replay import PrioritizedReplayBuffer, ReplayBuffer
 from dgvit_tpu.replay.buffer import reference_schema
+from dgvit_tpu.replay.staging import BatchPrefetcher
 from dgvit_tpu.utils import MetricsLogger, RewardCurve
 
 
@@ -208,10 +209,18 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
     ep_real = 0
     total_steps = 0
     start_time = time.time()
+    prefetcher = None
 
     def to_batch(d):
         import jax.numpy as jnp
         return {k: jnp.asarray(v) for k, v in d.items()}
+
+    def _plain_sample():
+        d = buf.sample(s.batch_size)
+        d.pop("engage", None)
+        d.pop("weights", None)
+        d.pop("indexes", None)
+        return d
 
     for ep in range(max_eps):
         episode_reward = 0.0
@@ -299,10 +308,16 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                         # the reference stubs this at DRL.py:365-368)
                         buf.update_priorities(
                             idx, np.abs(np.asarray(td)) + 1e-6)
+                    elif s.prefetch_batches:
+                        # background thread samples + device_puts the NEXT
+                        # batch while the device runs the current step
+                        if prefetcher is None:
+                            prefetcher = BatchPrefetcher(_plain_sample,
+                                                         depth=2)
+                        state, metrics = agent.learn(state, next(prefetcher))
                     else:
-                        d = buf.sample(s.batch_size)
-                        d.pop("engage", None)
-                        state, metrics = agent.learn(state, to_batch(d))
+                        state, metrics = agent.learn(
+                            state, to_batch(_plain_sample()))
             obs = next_obs
             total_steps += 1
             if sres.target:
@@ -342,6 +357,8 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                 title=f"desc: {t.desc} block={cfg.model.block} "
                       f"head={cfg.model.head}")
 
+    if prefetcher is not None:
+        prefetcher.close()
     # final save + summary (main.py:404-417)
     if t.save and not t.if_test:
         ckpt.save_train_state(ckpt_dir, ep_real, state)

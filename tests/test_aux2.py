@@ -115,3 +115,37 @@ def test_superpixel_occlusion_band_fraction_close_to_skimage():
     frac_ref = np.mean(ref == 0)
     assert frac_ours > 0.15  # the band plus overlap is a sizable region
     assert abs(frac_ours - frac_ref) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# keyboard teleop (keyboard_control.py:24-143 contract)
+# ---------------------------------------------------------------------------
+
+def test_teleop_engage_gate_and_clamps():
+    from dgvit_tpu.train.keyboard_control import (ANG_MAX, LIN_MAX,
+                                                  KeyboardTeleop)
+
+    t = KeyboardTeleop()
+    assert not t.engaged
+    t.update("1")
+    assert t.engaged          # '1' engages (keyboard_control.py gate)
+    t.update("2")
+    assert not t.engaged      # '2' disengages
+
+    for _ in range(50):
+        t.update("w")
+    assert t.linear == pytest.approx(LIN_MAX)   # clamp 0.5 m/s
+    for _ in range(50):
+        t.update("d")
+    assert t.angular == pytest.approx(-ANG_MAX)  # clamp 0.6 rad/s
+    t.update("x")
+    assert t.linear == 0.0 and t.angular == 0.0
+
+
+def test_teleop_satisfies_intervention_protocol():
+    """train_rl's `intervention` contract: .engaged + .read_action()."""
+    from dgvit_tpu.train.keyboard_control import KeyboardTeleop
+
+    t = KeyboardTeleop()
+    assert hasattr(t, "engaged")
+    assert callable(t.read_action)

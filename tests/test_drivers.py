@@ -292,3 +292,16 @@ def test_resume_continues_from_checkpoint(tmp_path):
     assert int(out2["state"].itera) == itera1
     for k in saved:
         np.testing.assert_array_equal(saved[k], got[k])
+
+
+def test_prefetched_training_loop(tmp_path):
+    """sac.prefetch_batches=True: background sampling thread + device_put
+    overlap (replay/staging.py wired into the live loop, flag-gated because
+    batches are up to depth steps stale vs the reference ordering)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.sac.prefetch_batches = True
+    cfg.env.max_steps = 10
+    env = KinematicNavEnv(seed=14, image_hw=(32, 40))
+    out = train(cfg, env, out_dir=str(tmp_path), max_episodes=2)
+    assert out["episodes"] >= 1
+    assert np.isfinite(out["max_mean_reward"])
