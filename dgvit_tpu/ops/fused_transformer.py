@@ -34,6 +34,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _mlp_chunk(mlp_dim: int, default: int) -> int:
+    """Hidden-dim chunk for the in-kernel MLP loop (VMEM-bounded).
+    Override with DGVIT_MLP_CHUNK for experiments."""
+    import os
+
+    return min(mlp_dim, int(os.environ.get("DGVIT_MLP_CHUNK", str(default))))
+
+
 def _erf32(x):
     """Abramowitz-Stegun 7.1.26 erf, |err| < 1.5e-7 (fp32-exact); Mosaic has
     no erf/erfc primitive, only exp."""
@@ -126,7 +134,7 @@ def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
     # materializes (VMEM budget); gelu mode per _gelu32 (tanh in bf16,
     # fp32-exact erf polynomial in fp32)
     mlp_dim = w1_ref.shape[1]
-    chunk = min(mlp_dim, 512)
+    chunk = _mlp_chunk(mlp_dim, 512)
     mlp_out = b2_ref[...].astype(jnp.float32)
     for c0 in range(0, mlp_dim, chunk):
         w1c = w1_ref[:, c0:c0 + chunk]
@@ -313,7 +321,7 @@ def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
                                         fn_b_ref[...].astype(jnp.float32))
     h2 = h2_32.astype(cdt)
     mlp_dim = w1_ref.shape[1]
-    chunk = min(mlp_dim, 512)
+    chunk = _mlp_chunk(mlp_dim, 512)
     dh2_32 = jnp.zeros((rows, d), jnp.float32)
     for c0 in range(0, mlp_dim, chunk):
         w1c = w1_ref[:, c0:c0 + chunk]
