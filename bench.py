@@ -86,6 +86,25 @@ def _bench_extra():
         print(json.dumps({"metric": "pallas PRNG noise stats (on-chip)",
                           "value": 1, "unit": "pass"}))
 
+    # megakernel vs per-block fused path equivalence ON-CHIP (the CPU tier
+    # only covers interpret mode — tests/test_megakernel.py)
+    if jax.default_backend() == "tpu":
+        from dgvit_tpu.models import build_actor
+
+        mcfg = Config()
+        mactor = build_actor(mcfg, dtype=jnp.bfloat16)
+        mparams = mactor.init(jax.random.PRNGKey(3),
+                              jnp.zeros((1, 128, 160)), jnp.zeros((1, 2)))
+        mobs = jax.random.uniform(jax.random.PRNGKey(4), (16, 128, 160))
+        mgoal = jax.random.normal(jax.random.PRNGKey(5), (16, 2)) * 0.3
+        a = np.asarray(mactor.apply(mparams, mobs, mgoal)[0], np.float32)
+        m = np.asarray(mactor.apply(mparams, mobs, mgoal,
+                                    inference=True)[0], np.float32)
+        err = float(np.abs(a - m).max())
+        assert err < 0.05, f"megakernel drift vs per-block path: {err}"
+        print(json.dumps({"metric": "megakernel equivalence (on-chip)",
+                          "value": 1, "unit": "pass"}))
+
     # (4)+(5) fused SAC update throughput (replay batch resident on device)
     cfg = Config()
     agent = SACAgent(cfg, dtype=jnp.bfloat16)
@@ -138,7 +157,8 @@ def _bench_extra():
     @jax.jit
     def lat_loop(params, obs1, goal1):
         def body(g, _):
-            mean, _ls = actor.apply({"params": params}, obs1[None], g[None])
+            mean, _ls = actor.apply({"params": params}, obs1[None], g[None],
+                                    inference=True)
             a = jnp.tanh(mean.astype(jnp.float32))[0]
             return a, ()
         g, _ = jax.lax.scan(body, goal1, None, length=n_lat)
@@ -184,7 +204,7 @@ def main():
     @jax.jit
     def rollout(params, obs, goal0):
         def body(goal, _):
-            mean, _ls = actor.apply(params, obs, goal)
+            mean, _ls = actor.apply(params, obs, goal, inference=True)
             act = jnp.tanh(mean.astype(jnp.float32))
             return act, act[0, 0]
 

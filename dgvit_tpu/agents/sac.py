@@ -180,13 +180,16 @@ class SACAgent:
             return jnp.exp(state.log_alpha)
         return jnp.asarray(self.fixed_alpha, jnp.float32)
 
-    def _sample_actor(self, params, obs, pobs, key, dropout_key=None):
-        """(action, log_prob, mean_action) with optional live dropout."""
-        kwargs: Dict[str, Any] = {}
+    def _sample_actor(self, params, obs, pobs, key, dropout_key=None,
+                      inference: bool = False):
+        """(action, log_prob, mean_action) with optional live dropout.
+        `inference=True` routes eligible no-grad forwards through the
+        whole-trunk megakernel (ops/got_megakernel.py)."""
+        kwargs: Dict[str, Any] = {"inference": inference}
         if dropout_key is not None:
-            kwargs = dict(deterministic=False, rngs={"dropout": dropout_key})
+            kwargs.update(deterministic=False, rngs={"dropout": dropout_key})
         else:
-            kwargs = dict(deterministic=True)
+            kwargs.update(deterministic=True)
         if self.deterministic_actor:
             mean = self.actor.apply({"params": params}, obs, pobs, **kwargs)
             return distributions.deterministic_sample(key, mean)
@@ -208,7 +211,8 @@ class SACAgent:
                   dropout: bool):
         k_noise, k_drop = jax.random.split(rng)
         s = self._sample_actor(actor_params, obs, pobs, k_noise,
-                               dropout_key=k_drop if dropout else None)
+                               dropout_key=k_drop if dropout else None,
+                               inference=True)
         return s.mean if evaluate else s.action
 
     def choose_action(self, state: SACTrainState, obs, pobs, rng,

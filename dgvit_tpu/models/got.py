@@ -64,12 +64,79 @@ class GoT(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, img, goal, *, deterministic: bool = True):
+    def __call__(self, img, goal, *, deterministic: bool = True,
+                 inference: bool = False):
         """img: (B, H, W) [2d mode] or (B, C, H, W) [channels mode];
-        goal: (B, dim) pre-embedded goal token. Returns (B, dim) latent."""
+        goal: (B, dim) pre-embedded goal token. Returns (B, dim) latent.
+
+        `inference=True` requests the whole-trunk megakernel
+        (ops/got_megakernel.py): one Pallas launch per frame tile covering
+        embed -> all blocks -> CLS pool -> final norm. Used by no-grad
+        forwards (choose_action, evaluation, bench); gradient-bearing passes
+        keep the per-block custom-vjp kernels. Params are declared with
+        identical tree paths either way, and `init` always takes the composed
+        path, so checkpoints are portable across both."""
+        import os
+
+        import jax
+
         ph, pw = self.patch_size
         ih, iw = self.image_size
         num_patches = (ih // ph) * (iw // pw)
+
+        use_mega = (
+            inference
+            and deterministic
+            and not self.is_initializing()
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("DGVIT_MEGA_INTERPRET") == "1")
+            and self.attn_impl in ("auto", "fused")
+            and not self.capture
+            and not self.seq_shard
+            and self.pool == "cls"
+            and not (self.heads == 1 and self.dim_head == self.dim)
+            and num_patches + 1 <= 256
+        )
+        if use_mega:
+            from dgvit_tpu.models.layers import _ln_param_init
+            from dgvit_tpu.ops.got_megakernel import got_forward_fused
+
+            patch_dim = ph * pw * (self.channels
+                                   if self.patch_mode == "channels" else 1)
+            cdt = self.dtype or img.dtype
+
+            def pe_init(k):
+                k1, k2 = jax.random.split(k)
+                return {"kernel": init.xavier_uniform(k1, (patch_dim, self.dim)),
+                        "bias": init.torch_linear_bias(patch_dim)(k2, (self.dim,))}
+
+            pe = self.param("patch_embed", pe_init)
+            pos = self.param("pos_embedding", init.normal,
+                             (1, num_patches + 1, self.dim))
+            flats = Transformer(
+                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
+                self.dropout, attn_impl=self.attn_impl, dtype=self.dtype,
+                name="transformer",
+            )(jnp.zeros((1, 1, self.dim), cdt), collect_params=True)
+            if self.final_norm == "rms":
+                g = self.param("norm_out",
+                               lambda k: {"g": jnp.ones((self.dim,))})["g"]
+                fn = (g.reshape(1, -1).astype(jnp.float32),
+                      jnp.zeros((1, self.dim), jnp.float32))
+            else:
+                no = self.param("norm_out", _ln_param_init(self.dim))
+                fn = (no["scale"].reshape(1, -1).astype(jnp.float32),
+                      no["bias"].reshape(1, -1).astype(jnp.float32))
+
+            patches = (patchify_2d(img, ph, pw) if self.patch_mode == "2d"
+                       else patchify_channels(img, ph, pw)).astype(cdt)
+            return got_forward_fused(
+                patches, goal.astype(cdt),
+                (pe["kernel"].astype(cdt), pe["bias"].reshape(1, -1).astype(cdt)),
+                pos[0].astype(cdt), tuple(flats), fn,
+                self.heads, self.dim_head, num_patches + 1, self.final_norm,
+                jax.default_backend() != "tpu",
+            )
 
         if self.patch_mode == "2d":
             x = patchify_2d(img, ph, pw)

@@ -52,6 +52,12 @@ class RMSNorm(nn.Module):
         return ((x32 / norm) * (self.dim ** 0.5) * g).astype(dt)
 
 
+def _ln_param_init(dim: int):
+    """Raw param-tree init matching the LayerNorm submodule's tree — used by
+    fused paths that read norm params without running the submodule."""
+    return lambda k: {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
 class LayerNorm(nn.Module):
     """torch nn.LayerNorm defaults: eps=1e-5, elementwise affine."""
 
@@ -205,11 +211,13 @@ class TransformerBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 collect_params: bool = False):
         import jax
 
         use_fused = (
-            self.attn_impl in ("auto", "fused")
+            not collect_params
+            and self.attn_impl in ("auto", "fused")
             and jax.default_backend() == "tpu"
             and not self.capture
             and not self.seq_shard
@@ -217,7 +225,7 @@ class TransformerBlock(nn.Module):
             and not (self.heads == 1 and self.dim_head == self.dim)
             and x.shape[1] <= 256
         )
-        if use_fused:
+        if use_fused or collect_params:
             from dgvit_tpu.models import initializers as init
             from dgvit_tpu.ops.fused_transformer import (
                 _block_params_flat, fused_transformer_block)
@@ -252,6 +260,10 @@ class TransformerBlock(nn.Module):
             }
             cdt = self.dtype or x.dtype
             flat = _block_params_flat(tree, cdt)
+            if collect_params:
+                # megakernel path (ops/got_megakernel.py): hand the flat
+                # param tuple to the caller instead of computing
+                return flat
             return fused_transformer_block(x.astype(cdt), flat, self.heads,
                                            self.dim_head)
 
@@ -282,7 +294,17 @@ class Transformer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 collect_params: bool = False):
+        if collect_params:
+            # megakernel path: return each block's flat param tuple; x only
+            # sets the compute dtype
+            return [TransformerBlock(
+                self.dim, self.heads, self.dim_head, self.mlp_dim,
+                self.dropout, attn_impl=self.attn_impl, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic, collect_params=True)
+                for i in range(self.depth)]
         for i in range(self.depth):
             x = TransformerBlock(
                 self.dim, self.heads, self.dim_head, self.mlp_dim, self.dropout,

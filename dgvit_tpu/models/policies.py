@@ -55,7 +55,8 @@ class GoTPolicy(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         goal = TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate)
         latent = GoT(
             image_size=self.image_size, patch_size=self.patch_size,
@@ -65,7 +66,7 @@ class GoTPolicy(nn.Module):
             final_norm=self.final_norm, attn_impl=self.attn_impl,
             capture=self.capture, seq_shard=self.seq_shard, dtype=self.dtype,
             name="trans",
-        )(istate, goal, deterministic=deterministic)
+        )(istate, goal, deterministic=deterministic, inference=inference)
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(latent))
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc2")(x))
         mean = TorchLinear(self.action_dim, dtype=self.dtype, name="mean_linear")(x)
@@ -93,7 +94,8 @@ class GoTQNetwork(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, action, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True,
+                 inference: bool = False):
         goal = nn.relu(TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate))
         latent = GoT(
             image_size=self.image_size, patch_size=self.patch_size,
@@ -102,7 +104,7 @@ class GoTQNetwork(nn.Module):
             emb_dropout=self.emb_dropout, patch_mode=self.patch_mode,
             attn_impl=self.attn_impl, seq_shard=self.seq_shard,
             dtype=self.dtype, name="trans",
-        )(istate, goal, deterministic=deterministic)
+        )(istate, goal, deterministic=deterministic, inference=inference)
         x = jnp.concatenate([latent, action.astype(latent.dtype)], axis=1)
         q1 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
         q1 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(q1))
@@ -131,7 +133,8 @@ class DeterministicGoTPolicy(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         goal = TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate)
         latent = GoT(
             image_size=self.image_size, patch_size=self.patch_size,
@@ -139,7 +142,7 @@ class DeterministicGoTPolicy(nn.Module):
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
             emb_dropout=self.emb_dropout, attn_impl=self.attn_impl,
             dtype=self.dtype, name="trans",
-        )(istate, goal, deterministic=deterministic)
+        )(istate, goal, deterministic=deterministic, inference=inference)
         x = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(latent))
         x = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(x))
         return jnp.tanh(TorchLinear(self.action_dim, dtype=self.dtype, name="mean_linear")(x))
@@ -158,7 +161,8 @@ class GaussianPolicy(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
         x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
         x = jnp.concatenate([x1, x2], axis=1)
@@ -178,7 +182,8 @@ class QNetwork(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, action, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
         x2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate))
         x = jnp.concatenate([x1, x2, action.astype(x1.dtype)], axis=1)
@@ -200,7 +205,8 @@ class DeterministicPolicy(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
         x2 = TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate)
         x = jnp.concatenate([x1, x2], axis=1)
@@ -219,7 +225,8 @@ class ValueNetwork(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = ConvTrunk(dtype=self.dtype, name="trunk")(istate)
         x2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc_embed")(pstate))
         x = jnp.concatenate([x1, x2], axis=1)
@@ -249,7 +256,8 @@ class ViTGaussianPolicy(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
                        mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
                        capture=self.capture, seq_shard=self.seq_shard,
@@ -277,7 +285,8 @@ class ViTQNetwork(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, action, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
                        mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
                        seq_shard=self.seq_shard,
@@ -311,7 +320,8 @@ class ViTDeterministicPolicy(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, istate, pstate, *, deterministic: bool = True):
+    def __call__(self, istate, pstate, *, deterministic: bool = True,
+                 inference: bool = False):
         x1 = SimpleViT(dim=self.dim, depth=self.depth, heads=self.heads,
                        mlp_dim=self.mlp_dim, attn_impl=self.attn_impl,
                        capture=self.capture, seq_shard=self.seq_shard,

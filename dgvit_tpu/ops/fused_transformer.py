@@ -79,16 +79,18 @@ def _gelu32(x, cdt):
     return 0.5 * x * (1.0 + _erf32(x * _INV_SQRT2))
 
 
-def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
-                  fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                  *, n_valid: int, heads: int, dim_head: int, tb: int,
-                  scale: float):
-    np_ = x_ref.shape[1]
-    d = x_ref.shape[2]
+def _block_body(x32, w, *, n_valid: int, heads: int, dim_head: int, tb: int,
+                np_: int, scale: float, cdt):
+    """One complete pre-norm transformer block on an in-VMEM fp32 residual
+    stream x32 of shape (tb*np_, d). `w` is the 11-tuple of weight REFS in
+    kernel argument order (see `_block_params_flat`) — refs, not arrays, so
+    the chunked MLP can ref-slice w1/w2 (Mosaic has no strided value slice
+    for the large weight case). Shared by the per-block kernels here and the
+    whole-network megakernel (ops/got_megakernel.py)."""
+    (an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref, fn_s_ref, fn_b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref) = w
+    d = x32.shape[1]
     inner = heads * dim_head
-    cdt = x_ref.dtype
-
-    x32 = x_ref[...].reshape(tb * np_, d).astype(jnp.float32)
 
     # --- pre-norm attention -------------------------------------------------
     h = _ln(x32, an_s_ref[...].astype(jnp.float32),
@@ -145,8 +147,22 @@ def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
         hid = _gelu32(hid, cdt).astype(cdt)
         mlp_out = mlp_out + jnp.dot(hid, w2c,
                                     preferred_element_type=jnp.float32)
-    x32 = x32 + mlp_out
+    return x32 + mlp_out
 
+
+def _block_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
+                  fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  *, n_valid: int, heads: int, dim_head: int, tb: int,
+                  scale: float):
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    cdt = x_ref.dtype
+
+    x32 = x_ref[...].reshape(tb * np_, d).astype(jnp.float32)
+    w = (an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref, fn_s_ref,
+         fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    x32 = _block_body(x32, w, n_valid=n_valid, heads=heads, dim_head=dim_head,
+                      tb=tb, np_=np_, scale=scale, cdt=cdt)
     o_ref[...] = x32.reshape(tb, np_, d).astype(o_ref.dtype)
 
 

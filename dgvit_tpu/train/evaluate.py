@@ -30,7 +30,8 @@ def run_eval(cfg: Config, env: Env, actor_params, max_episodes: int = 100,
 
     @jax.jit
     def act_fn(params, obs, goal):
-        out = actor.apply({"params": params}, obs[None], goal[None])
+        out = actor.apply({"params": params}, obs[None], goal[None],
+                          inference=True)
         if deterministic_actor:
             # Deterministic* actors return the tanh-squashed action directly
             # (got_sac_network.py:385,447 / vit_sac_network.py:428) — a
