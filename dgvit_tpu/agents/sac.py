@@ -196,13 +196,15 @@ class SACAgent:
         mean, log_std = self.actor.apply({"params": params}, obs, pobs, **kwargs)
         return distributions.sample(key, mean, log_std)
 
-    def _apply_critic(self, params, obs, pobs, act, dropout_key=None):
+    def _apply_critic(self, params, obs, pobs, act, dropout_key=None,
+                      inference: bool = False):
         if dropout_key is not None:
             return self.critic.apply({"params": params}, obs, pobs, act,
                                      deterministic=False,
-                                     rngs={"dropout": dropout_key})
+                                     rngs={"dropout": dropout_key},
+                                     inference=inference)
         return self.critic.apply({"params": params}, obs, pobs, act,
-                                 deterministic=True)
+                                 deterministic=True, inference=inference)
 
     # ------------------------------------------------------------------
     # acting
@@ -235,11 +237,15 @@ class SACAgent:
     # ------------------------------------------------------------------
     def _td_target(self, state, alpha, batch, key):
         k1, k2, k3 = jax.random.split(key, 3)
+        # both TD-target forwards are no-grad (stop_gradient below): route
+        # them through the blocks megakernel (embed+dropout stay in XLA)
         nxt = self._sample_actor(state.actor_params, batch["next_obs"],
-                                 batch["next_pobs"], k1, dropout_key=k2)
+                                 batch["next_pobs"], k1, dropout_key=k2,
+                                 inference=True)
         q1_t, q2_t = self._apply_critic(state.critic_target_params,
                                         batch["next_obs"], batch["next_pobs"],
-                                        nxt.action, dropout_key=k3)
+                                        nxt.action, dropout_key=k3,
+                                        inference=True)
         min_q = jnp.minimum(q1_t, q2_t) - alpha * nxt.log_prob
         rew = batch["rew"].reshape(-1, 1)
         target = rew + self.gamma * min_q

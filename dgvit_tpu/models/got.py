@@ -84,9 +84,8 @@ class GoT(nn.Module):
         ih, iw = self.image_size
         num_patches = (ih // ph) * (iw // pw)
 
-        use_mega = (
+        mega_ok = (
             inference
-            and deterministic
             and not self.is_initializing()
             and (jax.default_backend() == "tpu"
                  or os.environ.get("DGVIT_MEGA_INTERPRET") == "1")
@@ -97,6 +96,7 @@ class GoT(nn.Module):
             and not (self.heads == 1 and self.dim_head == self.dim)
             and num_patches + 1 <= 256
         )
+        use_mega = mega_ok and deterministic
         if use_mega:
             from dgvit_tpu.models.layers import _ln_param_init
             from dgvit_tpu.ops.got_megakernel import got_forward_fused
@@ -154,13 +154,43 @@ class GoT(nn.Module):
         x = x + pos[:, : n + 1].astype(x.dtype)
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
 
+        if mega_ok:
+            # live-dropout inference (reference keeps train-mode dropout in
+            # every learn pass): embed + dropout ran above in XLA (they need
+            # the PRNG); blocks -> CLS pool -> final norm run fused
+            from dgvit_tpu.models.layers import _ln_param_init
+            from dgvit_tpu.ops.got_megakernel import blocks_cls_forward_fused
+
+            cdt = self.dtype or img.dtype
+            flats = Transformer(
+                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
+                self.dropout, attn_impl=self.attn_impl, dtype=self.dtype,
+                name="transformer",
+            )(jnp.zeros((1, 1, self.dim), cdt), collect_params=True)
+            if self.final_norm == "rms":
+                g = self.param("norm_out",
+                               lambda k: {"g": jnp.ones((self.dim,))})["g"]
+                fn = (g.reshape(1, -1).astype(jnp.float32),
+                      jnp.zeros((1, self.dim), jnp.float32))
+            else:
+                no = self.param("norm_out", _ln_param_init(self.dim))
+                fn = (no["scale"].reshape(1, -1).astype(jnp.float32),
+                      no["bias"].reshape(1, -1).astype(jnp.float32))
+            return blocks_cls_forward_fused(
+                x.astype(cdt), tuple(flats), fn, self.heads, self.dim_head,
+                self.final_norm, jax.default_backend() != "tpu")
+
         x = Transformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, attn_impl=self.attn_impl, capture=self.capture,
-            seq_shard=self.seq_shard, dtype=self.dtype, name="transformer",
+            seq_shard=self.seq_shard, dtype=self.dtype,
+            cls_final=self.pool == "cls", name="transformer",
         )(x, deterministic=deterministic)
 
-        x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
+        # cls_final already pooled the goal token inside the last block
+        # (fused: ops/cls_block.py; composed: block output row 0)
+        if self.pool == "mean":
+            x = x.mean(axis=1)
 
         if self.final_norm == "rms":
             return RMSNorm(self.dim, name="norm_out")(x)

@@ -208,6 +208,7 @@ class TransformerBlock(nn.Module):
     attn_impl: str = "auto"
     capture: bool = False
     seq_shard: bool = False
+    cls_only: bool = False   # return block(x)[:, 0] — fused CLS-final kernel
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -264,6 +265,10 @@ class TransformerBlock(nn.Module):
                 # megakernel path (ops/got_megakernel.py): hand the flat
                 # param tuple to the caller instead of computing
                 return flat
+            if self.cls_only:
+                from dgvit_tpu.ops.cls_block import cls_final_block
+                return cls_final_block(x.astype(cdt), flat, self.heads,
+                                       self.dim_head)
             return fused_transformer_block(x.astype(cdt), flat, self.heads,
                                            self.dim_head)
 
@@ -275,10 +280,13 @@ class TransformerBlock(nn.Module):
             name="attn",
         )(h, deterministic=deterministic)
         x = x + h
+        if self.cls_only:
+            x = x[:, :1]   # only the CLS row survives pooling downstream
         h = LayerNorm(self.dim, name="ff_norm")(x)
         h = FeedForward(self.dim, self.mlp_dim, self.dropout, dtype=self.dtype,
                         name="ff")(h, deterministic=deterministic)
-        return x + h
+        x = x + h
+        return x[:, 0] if self.cls_only else x
 
 
 class Transformer(nn.Module):
@@ -291,6 +299,7 @@ class Transformer(nn.Module):
     attn_impl: str = "auto"
     capture: bool = False
     seq_shard: bool = False
+    cls_final: bool = False   # last block returns pooled CLS rows: (B, dim)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -310,6 +319,7 @@ class Transformer(nn.Module):
                 self.dim, self.heads, self.dim_head, self.mlp_dim, self.dropout,
                 attn_impl=self.attn_impl, capture=self.capture,
                 seq_shard=self.seq_shard, dtype=self.dtype,
+                cls_only=self.cls_final and i == self.depth - 1,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         return x

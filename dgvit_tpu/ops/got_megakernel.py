@@ -167,6 +167,126 @@ def _mega_kernel(*refs, n_valid: int, heads: int, dim_head: int, depth: int,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _blocks_kernel(*refs, n_valid: int, heads: int, dim_head: int,
+                   depth: int, tb: int, scale: float, final_norm: str):
+    """Blocks-only megakernel: input is the ASSEMBLED token stream (already
+    embedded + goal token + pos + emb-dropout, which stays in XLA because it
+    needs the PRNG). Runs depth-1 full blocks + the CLS-only final block +
+    final norm in one launch. Serves forwards that need live dropout (the
+    reference keeps train-mode dropout in every learn pass, DRL.py) — e.g.
+    the no-grad TD-target forwards."""
+    x_ref = refs[0]
+    blocks = [tuple(refs[1 + 11 * i: 1 + 11 * (i + 1)]) for i in range(depth)]
+    fs_ref, fb_ref = refs[1 + 11 * depth: 3 + 11 * depth]
+    o_ref = refs[-1]
+
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    cdt = x_ref.dtype
+
+    x32 = x_ref[...].reshape(tb * np_, d).astype(jnp.float32)
+    for i in range(depth - 1):
+        x32 = _block_body(x32, blocks[i], n_valid=n_valid, heads=heads,
+                          dim_head=dim_head, tb=tb, np_=np_, scale=scale,
+                          cdt=cdt)
+        x32 = x32.astype(cdt).astype(jnp.float32)
+    cls = _block_body_cls(x32, blocks[-1], n_valid=n_valid, heads=heads,
+                          dim_head=dim_head, tb=tb, np_=np_, scale=scale,
+                          cdt=cdt)
+    cls = cls.astype(cdt).astype(jnp.float32)
+
+    fs = fs_ref[...].astype(jnp.float32)
+    if final_norm == "rms":
+        norm = jnp.sqrt(jnp.sum(cls * cls, axis=-1, keepdims=True))
+        out = cls / jnp.maximum(norm, 1e-12) * (d ** 0.5) * fs
+    else:
+        m = jnp.mean(cls, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
+        out = (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs \
+            + fb_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _blocks_fwd_impl(x, blocks, fn, *, heads: int, dim_head: int,
+                     final_norm: str, interpret: bool = False):
+    b, n, d = x.shape
+    inner = heads * dim_head
+    depth = len(blocks)
+    mlp_dim = blocks[0][7].shape[1]
+    np_ = _round_up(n, 8)
+    tb = 8
+    b_pad = _round_up(b, tb)
+    xp = jnp.pad(x, ((0, b_pad - b), (0, np_ - n), (0, 0)))
+    kern = functools.partial(_blocks_kernel, n_valid=n, heads=heads,
+                             dim_head=dim_head, depth=depth, tb=tb,
+                             scale=dim_head ** -0.5, final_norm=final_norm)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    block_specs = [full((1, d)), full((1, d)),
+                   full((d, 3 * inner)), full((inner, d)), full((1, d)),
+                   full((1, d)), full((1, d)),
+                   full((d, mlp_dim)), full((1, mlp_dim)),
+                   full((mlp_dim, d)), full((1, d))]
+    out = pl.pallas_call(
+        kern,
+        grid=(b_pad // tb,),
+        in_specs=([pl.BlockSpec((tb, np_, d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)]
+                  + block_specs * depth
+                  + [full((1, d)), full((1, d))]),
+        out_specs=pl.BlockSpec((tb, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d), x.dtype),
+        interpret=interpret,
+    )(xp, *[w for blk in blocks for w in blk], fn[0], fn[1])
+    return out[:b]
+
+
+def _blocks_xla(x, blocks, fn, *, heads: int, dim_head: int,
+                final_norm: str):
+    cdt = x.dtype
+    d = x.shape[2]
+    for w in blocks:
+        x = _block_xla(x, w, heads=heads, dim_head=dim_head)
+    cls = x[:, 0].astype(jnp.float32)
+    fs = fn[0].reshape(-1).astype(jnp.float32)
+    if final_norm == "rms":
+        norm = jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12)
+        out = cls / norm * (d ** 0.5) * fs
+    else:
+        m = jnp.mean(cls, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
+        out = (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs \
+            + fn[1].reshape(-1).astype(jnp.float32)
+    return out.astype(cdt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def blocks_cls_forward_fused(x, blocks, fn, heads: int, dim_head: int,
+                             final_norm: str, interpret: bool = False):
+    """Fused blocks -> CLS pool -> final norm: (B, n, d) -> (B, d)."""
+    return _blocks_fwd_impl(x, blocks, fn, heads=heads, dim_head=dim_head,
+                            final_norm=final_norm, interpret=interpret)
+
+
+def _blocks_vjp_fwd(x, blocks, fn, heads, dim_head, final_norm, interpret):
+    y = _blocks_fwd_impl(x, blocks, fn, heads=heads, dim_head=dim_head,
+                         final_norm=final_norm, interpret=interpret)
+    return y, (x, blocks, fn)
+
+
+def _blocks_vjp_bwd(heads, dim_head, final_norm, interpret, res, g):
+    x, blocks, fn = res
+    _, vjp = jax.vjp(
+        lambda *a: _blocks_xla(*a, heads=heads, dim_head=dim_head,
+                               final_norm=final_norm),
+        x, blocks, fn)
+    return vjp(g)
+
+
+blocks_cls_forward_fused.defvjp(_blocks_vjp_fwd, _blocks_vjp_bwd)
+
+
 def _mega_fwd_impl(patches, goal, pe, pos, blocks, fn, *, heads: int,
                    dim_head: int, n_valid: int, final_norm: str,
                    interpret: bool = False):

@@ -84,6 +84,24 @@ def test_megakernel_gradient_correct():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_blocks_megakernel_with_live_dropout():
+    """inference=True with deterministic=False: embed+dropout run in XLA
+    (same RNG stream as the composed path -> identical mask), the blocks +
+    CLS pool + norm run as the blocks-only megakernel."""
+    got, params, img, goal = _setup()
+    got_d = GoT(**dict(SMALL, emb_dropout=0.3))
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    ref = got_d.apply(params, img, goal, deterministic=False, rngs=rngs)
+    os.environ["DGVIT_MEGA_INTERPRET"] = "1"
+    try:
+        out = got_d.apply(params, img, goal, deterministic=False, rngs=rngs,
+                          inference=True)
+    finally:
+        del os.environ["DGVIT_MEGA_INTERPRET"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_inference_flag_is_noop_when_ineligible():
     """Off-TPU without the interpret override, inference=True must fall
     through to the composed path bit-identically."""
