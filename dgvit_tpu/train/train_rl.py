@@ -331,6 +331,11 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         mean_r = curve.append(episode_reward)
         logger.log(ep_real, episode_reward=episode_reward, mean_reward=mean_r)
 
+        # periodic full-train-state checkpoint — the restart points the
+        # elastic supervisor (train_elastic / core/elastic.py) resumes from
+        if t.save and t.save_interval and ep_real % t.save_interval == 0:
+            ckpt.save_train_state(ckpt_dir, ep_real, state)
+
         # evaluation + checkpoint trigger (main.py:345-356)
         if (mean_r >= reward_threshold and ep_real > t.eval_threshold
                 and not t.if_test):
@@ -380,6 +385,36 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         f"{curve.max_mean:.2f} \t Duration = {duration:.1f} (s)\n")
     return {"successes": cntr2, "episodes": ep_real,
             "max_mean_reward": curve.max_mean, "state": state}
+
+
+def train_elastic(cfg: Config, env_factory, out_dir: str = "results",
+                  max_restarts: int = 3, resume: bool = False, **kw) -> dict:
+    """Elastic RL training: `train()` under a restart supervisor
+    (core/elastic.py). On a designated failure — device loss / XLA runtime
+    error / injected fault — the env is REBUILT via `env_factory()` and
+    training relaunches with resume=True, restoring the newest periodic
+    full-train-state checkpoint (params, targets, optimizers, alpha, step,
+    RNG). Agent state resumes exactly; the episode counter restarts (RL
+    episodes are not a deterministic data stream, unlike the offline
+    trainers, so there is nothing to replay)."""
+    import logging
+
+    from dgvit_tpu.core.elastic import default_failure_types
+
+    failure_types = default_failure_types()
+    restarts = 0
+    while True:
+        env = env_factory()
+        try:
+            return train(cfg, env, out_dir=out_dir,
+                         resume=resume or restarts > 0, **kw)
+        except failure_types as exc:
+            restarts += 1
+            if restarts > max_restarts:
+                raise
+            logging.getLogger("dgvit.elastic").warning(
+                "train_elastic: %s: %s — restarting (%d/%d)",
+                type(exc).__name__, exc, restarts, max_restarts)
 
 
 def main(argv=None):
