@@ -130,8 +130,15 @@ class BCTrainer:
 
         state = self.init_state(obs_shape=obs.shape[1:],
                                 pstate_dim=goal.shape[1])
-        vo, vg, va_ = self._batch_stack((obs, goal, act), va, self.batch_size)
-        best_val, best_params = np.inf, state.params
+        # clamp the val batch to the split size — a val split smaller than
+        # batch_size would otherwise stack to ZERO batches and make every
+        # val loss nan (empty-scan mean)
+        vb = max(1, min(self.batch_size, len(va)))
+        vo, vg, va_ = self._batch_stack((obs, goal, act), va, vb)
+        # host copy: state.params buffers get DONATED by _epoch_fn; if no
+        # epoch ever improves best_val the alias would be a deleted array
+        best_val = np.inf
+        best_params = jax.tree_util.tree_map(np.asarray, state.params)
         hist = {"train": [], "val": []}
         for ep in range(epochs):
             order = rng.permutation(tr)

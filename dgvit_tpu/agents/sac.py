@@ -166,7 +166,11 @@ class SACAgent:
             critic_target_params=target_params,
             actor_opt=self.actor_tx.init(actor_params),
             critic_opt=self.critic_tx.init(critic_params),
-            log_alpha=jnp.zeros((), jnp.float32),  # DRL.py:129 zeros init
+            # DRL.py:129 zeros init == log(ALPHA=1.0); honoring cfg.sac.alpha
+            # as the auto-tune STARTING point generalizes it (an IL-warm-
+            # started fine-tune wants a low initial temperature so early
+            # entropy bonuses don't wash out the cloned policy)
+            log_alpha=jnp.log(jnp.asarray(self.cfg.sac.alpha, jnp.float32)),
             alpha_opt=self.alpha_tx.init(jnp.zeros((), jnp.float32)),
             itera=jnp.zeros((), jnp.int32),
             rng=k_rng,

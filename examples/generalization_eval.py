@@ -40,6 +40,15 @@ def main(argv=None):
     p.add_argument("--bc-epochs", type=int, default=120)
     p.add_argument("--rl-episodes", type=int, default=80)
     p.add_argument("--eval-episodes", type=int, default=30)
+    p.add_argument("--alpha-init", type=float, default=1.0,
+                   help="starting entropy temperature for the SAC fine-tune "
+                        "(round-2 result: 1.0 washes out the BC warm start; "
+                        "0.05 preserves it)")
+    p.add_argument("--expert-buffer", action="store_true",
+                   help="reference PRE_BUFFER workflow: feed the recorded "
+                        "demos to learn_guidence as the expert buffer")
+    p.add_argument("--skip-rl", action="store_true",
+                   help="evaluate the BC warm start only")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -75,16 +84,27 @@ def main(argv=None):
     ckpt.save_params_npz(str(out / "il"), "bc_warm", best)
 
     # ---- 2. SAC fine-tune in the RRC arena ---------------------------------
-    cfg.train.pre_train = True
-    cfg.train.pre_train_model = str(out / "il" / "bc_warm")
-    env_rl = KinematicNavEnv(seed=1)
-    res = train(cfg, env_rl, out_dir=str(out / "rl"),
-                max_episodes=args.rl_episodes)
-    print(f"SAC: {res['successes']} goals in {res['episodes']} episodes, "
-          f"max mean reward {res['max_mean_reward']:.1f}", flush=True)
+    if args.skip_rl:
+        actor_params = best
+        res = {"successes": 0, "episodes": 0}
+        hist_note = "bc-only"
+    else:
+        cfg.train.pre_train = True
+        cfg.train.pre_train_model = str(out / "il" / "bc_warm")
+        cfg.sac.alpha = args.alpha_init
+        expert_glob = None
+        if args.expert_buffer:
+            cfg.train.pre_buffer = True
+            expert_glob = str(out / "demos" / "RRC" / "jax" / "*.npz")
+        env_rl = KinematicNavEnv(seed=1)
+        res = train(cfg, env_rl, out_dir=str(out / "rl"),
+                    max_episodes=args.rl_episodes, expert_glob=expert_glob)
+        print(f"SAC: {res['successes']} goals in {res['episodes']} episodes, "
+              f"max mean reward {res['max_mean_reward']:.1f}", flush=True)
+        actor_params = res["state"].actor_params
+        hist_note = f"alpha0={args.alpha_init} expert={args.expert_buffer}"
 
     # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
-    actor_params = res["state"].actor_params
     results = {}
     for world in ("rrc", "hospital"):
         ev = KinematicNavEnv(seed=7, world=world)
@@ -96,7 +116,7 @@ def main(argv=None):
 
     print(json.dumps({"rrc": results["rrc"], "hospital": results["hospital"],
                       "bc_val_rmse": float(min(hist["val"])),
-                      "sac_goals": res["successes"]}))
+                      "sac_goals": res["successes"], "recipe": hist_note}))
 
 
 if __name__ == "__main__":

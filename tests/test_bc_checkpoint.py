@@ -101,3 +101,28 @@ def test_params_npz_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(loaded),
                     jax.tree_util.tree_leaves(state.actor_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bc_fit_small_val_split_stays_finite():
+    """Regression: a val split smaller than batch_size used to stack to zero
+    batches (nan val loss), and the never-improved `best_params` alias
+    pointed at donated (deleted) buffers."""
+    import jax
+    import numpy as np
+
+    from dgvit_tpu.agents.bc import BCTrainer
+    from dgvit_tpu.models.policies import GoTPolicy
+
+    policy = GoTPolicy(block=1, head=2, l_f_size=32, mlp_dim=64,
+                       image_size=(32, 40), patch_size=(16, 20),
+                       emb_dropout=0.0)
+    tr = BCTrainer(model=policy, batch_size=64, seed=0)
+    n = 40  # val split = 8 < batch_size
+    obs = np.random.default_rng(0).random((n, 32, 40), np.float32)
+    goal = np.random.default_rng(1).random((n, 2), np.float32)
+    act = np.random.default_rng(2).random((n, 2), np.float32)
+    best, hist = tr.fit(obs, goal, act, epochs=2, to_chw=False)
+    assert np.isfinite(hist["val"]).all()
+    # best params must be materialized host arrays, not donated aliases
+    for leaf in jax.tree_util.tree_leaves(best):
+        np.asarray(leaf)
