@@ -30,7 +30,7 @@ def _params(key):
     return _block_params_flat(tree, jnp.float32)
 
 
-@pytest.mark.parametrize("batch,n", [(8, 65), (3, 65), (16, 17)])
+@pytest.mark.parametrize("batch,n", [(8, 65), (3, 33), (16, 17)])
 def test_cls_forward_matches_full_block(batch, n):
     flat = _params(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, n, DIM))
@@ -43,7 +43,7 @@ def test_cls_forward_matches_full_block(batch, n):
 
 def test_cls_backward_matches_full_block():
     flat = _params(jax.random.PRNGKey(2))
-    x = jax.random.normal(jax.random.PRNGKey(3), (8, 65, DIM))
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 33, DIM))
     dy_w = jax.random.normal(jax.random.PRNGKey(4), (8, DIM))
 
     def loss_ref(x, flat):
@@ -67,7 +67,7 @@ def test_transformer_cls_final_matches_pool_after():
     full blocks and pooling row 0 afterwards (same params)."""
     from dgvit_tpu.models.layers import Transformer
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (4, 65, DIM))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 33, DIM))
     full = Transformer(DIM, 2, HEADS, DIM_HEAD, MLP)
     pooled = Transformer(DIM, 2, HEADS, DIM_HEAD, MLP, cls_final=True)
     params = full.init(jax.random.PRNGKey(1), x)

@@ -12,7 +12,8 @@ import pytest
 from dgvit_tpu.models.got import GoT
 
 SMALL = dict(dim=64, depth=3, heads=2, dim_head=16, mlp_dim=128,
-             emb_dropout=0.0)
+             emb_dropout=0.0, image_size=(32, 40), patch_size=(16, 20))
+IH, IW = SMALL["image_size"]
 
 
 def _setup(final_norm="rms", patch_mode="2d", batch=4, **over):
@@ -20,9 +21,9 @@ def _setup(final_norm="rms", patch_mode="2d", batch=4, **over):
     got = GoT(**cfg)
     if patch_mode == "channels":
         img = jax.random.uniform(jax.random.PRNGKey(0),
-                                 (batch, cfg.get("channels", 1), 128, 160))
+                                 (batch, cfg.get("channels", 1), IH, IW))
     else:
-        img = jax.random.uniform(jax.random.PRNGKey(0), (batch, 128, 160))
+        img = jax.random.uniform(jax.random.PRNGKey(0), (batch, IH, IW))
     goal = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg["dim"]))
     params = got.init(jax.random.PRNGKey(2), img, goal)
     return got, params, img, goal
