@@ -53,9 +53,16 @@ def fill_buffer_from_demos(pattern_or_data, cfg: Config):
 
 def train_offline(cfg: Config, buf, steps: int = 1000,
                   out_dir: str = "results", augment_sigma: float = 0.0,
-                  prefetch_depth: int = 2, log_every: int = 100):
+                  prefetch_depth: int = 2, log_every: int = 100,
+                  checkpointer=None):
+    """`checkpointer`: optional core/elastic.ElasticCheckpointer — resumes
+    from its newest checkpoint and saves every `interval` steps, making the
+    loop restartable under core/elastic.run_elastic after device loss."""
     agent = SACAgent(cfg)
     state = agent.init_state(cfg.train.seed)
+    start_step = 0
+    if checkpointer is not None:
+        state, start_step = checkpointer.resume(state)
     logger = MetricsLogger(out_dir, "offline")
     b = cfg.sac.batch_size
 
@@ -80,7 +87,7 @@ def train_offline(cfg: Config, buf, steps: int = 1000,
     t0 = time.time()
     metrics = {}
     try:
-        for step in range(steps):
+        for step in range(start_step, steps):
             batch = next(pf)
             if use_per:
                 idx = np.asarray(batch.pop("indexes"))
@@ -91,6 +98,8 @@ def train_offline(cfg: Config, buf, steps: int = 1000,
                 batch.pop("weights", None)
                 batch.pop("indexes", None)
                 state, metrics = learn(state, batch)
+            if checkpointer is not None:
+                checkpointer.maybe_save(step + 1, state)
             if (step + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["steps_per_sec"] = (step + 1) / (time.time() - t0)

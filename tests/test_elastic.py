@@ -122,6 +122,31 @@ def test_failure_types_include_xla():
     assert "JaxRuntimeError" in names  # device loss / XLA runtime failures
 
 
+def test_offline_trainer_resumes_from_checkpointer(agent, tmp_path):
+    """train_offline with a checkpointer: a second invocation picks up from
+    the saved step instead of step 0."""
+    from dgvit_tpu.replay.buffer import ReplayBuffer, reference_schema
+    from dgvit_tpu.train.train_offline import train_offline
+
+    cfg = tiny_cfg()
+    buf = ReplayBuffer(64, reference_schema((IH, IW), 2, 2), seed=0)
+    b0 = step_batch(0, b=16)
+    buf.add(obs=np.asarray(b0["obs"]), act=np.asarray(b0["act"]),
+            pobs=np.asarray(b0["pobs"]),
+            next_pobs=np.asarray(b0["next_pobs"]),
+            rew=np.asarray(b0["rew"]).ravel(),
+            next_obs=np.asarray(b0["next_obs"]),
+            done=np.zeros(16, np.float32), engage=np.zeros(16, np.float32))
+    ckpt = ElasticCheckpointer(tmp_path / "off", interval=2)
+    state, _ = train_offline(cfg, buf, steps=4, out_dir=str(tmp_path),
+                             checkpointer=ckpt)
+    itera_after_4 = int(state.itera)
+    # resume: should start at step 4 and run only 2 more
+    state2, _ = train_offline(cfg, buf, steps=6, out_dir=str(tmp_path),
+                              checkpointer=ckpt)
+    assert int(state2.itera) == itera_after_4 + 2
+
+
 @pytest.mark.slow
 def test_train_elastic_driver_survives_env_fault(tmp_path):
     """Full RL driver under the elastic supervisor: the env dies mid-episode
