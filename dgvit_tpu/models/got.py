@@ -101,7 +101,9 @@ class GoT(nn.Module):
             from dgvit_tpu.models.layers import _ln_param_init
             from dgvit_tpu.ops.got_megakernel import got_forward_fused
 
-            patch_dim = ph * pw * (self.channels
+            # channel count from the INPUT (policies construct GoT without
+            # a channels override; the composed path is shape-derived too)
+            patch_dim = ph * pw * (img.shape[1]
                                    if self.patch_mode == "channels" else 1)
             cdt = self.dtype or img.dtype
 

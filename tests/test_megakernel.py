@@ -48,7 +48,14 @@ def test_megakernel_matches_composed(final_norm):
 
 
 def test_megakernel_channels_mode():
-    got, params, img, goal = _setup(patch_mode="channels", channels=4)
+    """channels attr left at its DEFAULT (1) while the input carries 4
+    channels — policies construct GoT without a channels override, so the
+    mega path must derive the patch dim from the input shape exactly like
+    the composed path does."""
+    got = GoT(**dict(SMALL, patch_mode="channels"))
+    img = jax.random.uniform(jax.random.PRNGKey(0), (4, 4, IH, IW))
+    goal = jax.random.normal(jax.random.PRNGKey(1), (4, SMALL["dim"]))
+    params = got.init(jax.random.PRNGKey(2), img, goal)
     ref = got.apply(params, img, goal)
     out = _mega(got, params, img, goal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
