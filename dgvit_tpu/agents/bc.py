@@ -134,20 +134,34 @@ class BCTrainer:
         # batch_size would otherwise stack to ZERO batches and make every
         # val loss nan (empty-scan mean)
         vb = max(1, min(self.batch_size, len(va)))
-        vo, vg, va_ = self._batch_stack((obs, goal, act), va, vb)
+        vo, vg, va_ = [jnp.asarray(x) for x in
+                       self._batch_stack((obs, goal, act), va, vb)]
+        # Device-resident dataset: the whole corpus moves to HBM ONCE and
+        # each epoch gathers its shuffled batches on-device (jnp.take) — the
+        # only per-epoch host->device transfer is the (N,) permutation.
+        # Re-staging the full dataset every epoch costs ~dataset-size x
+        # epochs of PCIe/tunnel traffic and dominated BC wall-clock.
+        obs_d, goal_d, act_d = (jnp.asarray(obs), jnp.asarray(goal),
+                                jnp.asarray(act))
+        nb = len(tr) // self.batch_size
+
+        @jax.jit
+        def gather(idx):
+            shape = lambda a: (nb, self.batch_size) + a.shape[1:]
+            return (jnp.take(obs_d, idx, axis=0).reshape(shape(obs_d)),
+                    jnp.take(goal_d, idx, axis=0).reshape(shape(goal_d)),
+                    jnp.take(act_d, idx, axis=0).reshape(shape(act_d)))
+
         # host copy: state.params buffers get DONATED by _epoch_fn; if no
         # epoch ever improves best_val the alias would be a deleted array
         best_val = np.inf
         best_params = jax.tree_util.tree_map(np.asarray, state.params)
         hist = {"train": [], "val": []}
         for ep in range(epochs):
-            order = rng.permutation(tr)
-            bo, bg, ba = self._batch_stack((obs, goal, act), order,
-                                           self.batch_size)
-            state, tr_loss = self._epoch_fn(
-                state, jnp.asarray(bo), jnp.asarray(bg), jnp.asarray(ba))
-            val_loss = float(self._eval_fn(state.params, jnp.asarray(vo),
-                                           jnp.asarray(vg), jnp.asarray(va_)))
+            order = rng.permutation(tr)[: nb * self.batch_size]
+            bo, bg, ba = gather(jnp.asarray(order))
+            state, tr_loss = self._epoch_fn(state, bo, bg, ba)
+            val_loss = float(self._eval_fn(state.params, vo, vg, va_))
             hist["train"].append(float(tr_loss))
             hist["val"].append(val_loss)
             if val_loss < best_val:   # keep lowest-val actor (:830-834)
