@@ -144,6 +144,23 @@ def _bench_extra():
     print(json.dumps({"metric": "SAC train throughput",
                       "value": round(bs / dt, 1), "unit": "transitions/s"}))
 
+    # BC epoch throughput (device-resident dataset: corpus moves to HBM once,
+    # epochs gather shuffled batches on-device — agents/bc.py)
+    from dgvit_tpu.agents.bc import BCTrainer
+    from dgvit_tpu.models.policies import GoTPolicy
+
+    rng_np = np.random.default_rng(0)
+    n_demo = 2560
+    obs_np = rng_np.random((n_demo, 128, 160), np.float32)
+    goal_np = rng_np.random((n_demo, 2), np.float32)
+    act_np = rng_np.random((n_demo, 2), np.float32).astype(np.float32)
+    trbc = BCTrainer(model=GoTPolicy(emb_dropout=0.0), batch_size=64, seed=0)
+    t0 = time.perf_counter()
+    trbc.fit(obs_np, goal_np, act_np, epochs=6, to_chw=False)
+    dt_bc = (time.perf_counter() - t0) / 6  # incl. one-epoch compile amortized
+    print(json.dumps({"metric": "BC epoch (2560 transitions, batch 64)",
+                      "value": round(dt_bc, 3), "unit": "s/epoch"}))
+
     # p50 single-frame action latency. Two numbers:
     #  * on-device: N chained single-frame forwards inside ONE jitted scan
     #    (each iteration's goal input depends on the previous action, so

@@ -208,6 +208,7 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
     cntr2 = 0   # successes
     ep_real = 0
     total_steps = 0
+    metrics = {}   # last learn metrics (rides along in the episode log)
     start_time = time.time()
     prefetcher = None
 
@@ -329,7 +330,14 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
             continue
         ep_real += 1
         mean_r = curve.append(episode_reward)
-        logger.log(ep_real, episode_reward=episode_reward, mean_reward=mean_r)
+        # SAC internals ride along so temperature/loss trajectories are
+        # diagnosable from the JSONL (the reference logs nothing here —
+        # its TensorBoard hooks are commented out, DRL.py:354-357)
+        sac_m = {k: float(v) for k, v in (metrics or {}).items()
+                 if k in ("alpha", "alpha_loss", "policy_loss",
+                          "qf1_loss", "qf2_loss", "entropy")}
+        logger.log(ep_real, episode_reward=episode_reward, mean_reward=mean_r,
+                   **sac_m)
 
         # periodic full-train-state checkpoint — the restart points the
         # elastic supervisor (train_elastic / core/elastic.py) resumes from
