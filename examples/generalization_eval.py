@@ -44,11 +44,20 @@ def main(argv=None):
                    help="starting entropy temperature for the SAC fine-tune "
                         "(round-2 result: 1.0 washes out the BC warm start; "
                         "0.05 preserves it)")
+    p.add_argument("--guidence-weight", type=float, default=1.0,
+                   help="expert BC anchor weight (DRL.py:51); the reward "
+                        "scale is +-200 so Q-magnitudes dwarf the default")
     p.add_argument("--expert-buffer", action="store_true",
                    help="reference PRE_BUFFER workflow: feed the recorded "
                         "demos to learn_guidence as the expert buffer")
     p.add_argument("--skip-rl", action="store_true",
                    help="evaluate the BC warm start only")
+    p.add_argument("--demos", default=None,
+                   help="reuse demo npz dir from a previous run (skip "
+                        "re-recording)")
+    p.add_argument("--bc-params", default=None,
+                   help="reuse a saved BC warm-start npz base path (skip "
+                        "demos + BC)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -68,23 +77,34 @@ def main(argv=None):
         v, w = scripted_pilot(obs, goal, t)
         return [np.clip(v / l_s - 1.0, -1, 1), np.clip(w / a_s, -1, 1)]
 
-    env = KinematicNavEnv(seed=0)
-    paths = record_episodes(env, pilot_norm, str(out / "demos"),
-                            episodes=args.bc_episodes, max_steps=200,
-                            action_to_env=lambda a: [(a[0] + 1) * l_s,
-                                                     a[1] * a_s])
-    print(f"recorded {len(paths)} demo episodes", flush=True)
-    obs, act, goal = load_bc_dataset(str(out / "demos" / "RRC" / "jax" / "*.npz"))
-    print(f"BC dataset: {obs.shape[0]} transitions", flush=True)
+    demo_dir = Path(args.demos) if args.demos else out / "demos"
+    if args.bc_params:
+        hist = {"val": [float("nan")]}
+        import shutil
+        (out / "il").mkdir(parents=True, exist_ok=True)
+        shutil.copy(args.bc_params + "_actor.npz",
+                    str(out / "il" / "bc_warm_actor.npz"))
+        print(f"reusing BC warm start: {args.bc_params}", flush=True)
+    else:
+        if args.demos is None:
+            env = KinematicNavEnv(seed=0)
+            paths = record_episodes(env, pilot_norm, str(demo_dir),
+                                    episodes=args.bc_episodes, max_steps=200,
+                                    action_to_env=lambda a: [(a[0] + 1) * l_s,
+                                                             a[1] * a_s])
+            print(f"recorded {len(paths)} demo episodes", flush=True)
+        obs, act, goal = load_bc_dataset(str(demo_dir / "RRC" / "jax" / "*.npz"))
+        print(f"BC dataset: {obs.shape[0]} transitions", flush=True)
 
-    policy = GoTPolicy(final_norm="rms", emb_dropout=0.0)
-    tr = BCTrainer(model=policy, batch_size=64, seed=1)
-    best, hist = tr.fit(obs, goal, act, epochs=args.bc_epochs, to_chw=False)
-    print(f"BC val RMSE: {min(hist['val']):.4f}", flush=True)
-    ckpt.save_params_npz(str(out / "il"), "bc_warm", best)
+        policy = GoTPolicy(final_norm="rms", emb_dropout=0.0)
+        tr = BCTrainer(model=policy, batch_size=64, seed=1)
+        best, hist = tr.fit(obs, goal, act, epochs=args.bc_epochs, to_chw=False)
+        print(f"BC val RMSE: {min(hist['val']):.4f}", flush=True)
+        ckpt.save_params_npz(str(out / "il"), "bc_warm", best)
 
     # ---- 2. SAC fine-tune in the RRC arena ---------------------------------
     if args.skip_rl:
+        assert not args.bc_params, "--skip-rl needs a fresh BC fit"
         actor_params = best
         res = {"successes": 0, "episodes": 0}
         hist_note = "bc-only"
@@ -92,17 +112,18 @@ def main(argv=None):
         cfg.train.pre_train = True
         cfg.train.pre_train_model = str(out / "il" / "bc_warm")
         cfg.sac.alpha = args.alpha_init
+        cfg.sac.guidence_weight = args.guidence_weight
         expert_glob = None
         if args.expert_buffer:
             cfg.train.pre_buffer = True
-            expert_glob = str(out / "demos" / "RRC" / "jax" / "*.npz")
+            expert_glob = str(demo_dir / "RRC" / "jax" / "*.npz")
         env_rl = KinematicNavEnv(seed=1)
         res = train(cfg, env_rl, out_dir=str(out / "rl"),
                     max_episodes=args.rl_episodes, expert_glob=expert_glob)
         print(f"SAC: {res['successes']} goals in {res['episodes']} episodes, "
               f"max mean reward {res['max_mean_reward']:.1f}", flush=True)
         actor_params = res["state"].actor_params
-        hist_note = f"alpha0={args.alpha_init} expert={args.expert_buffer}"
+        hist_note = (f"alpha0={args.alpha_init} expert={args.expert_buffer} gw={args.guidence_weight}")
 
     # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
     results = {}
