@@ -79,6 +79,61 @@ def _gelu32(x, cdt):
     return 0.5 * x * (1.0 + _erf32(x * _INV_SQRT2))
 
 
+def _use_batched_attn() -> bool:
+    """Head-batched attention matmuls (2 batched dot_generals per frame
+    instead of heads*2 small ones). The 2026-08 Mosaic DOES lower batched
+    dot_general (leading batch dim only) — but measured SLOWER than the
+    unrolled loop at the GoT geometry (205k vs 217k frames/s at B=2048): the
+    per-head slice+concat needed to stack (heads, np, dh) operands costs
+    more than the batching saves on 72x64 tiles. Kept flag-gated
+    (DGVIT_BATCHED_ATTN=1) for retesting on future stacks / larger heads."""
+    import os
+
+    return os.environ.get("DGVIT_BATCHED_ATTN", "0") == "1"
+
+
+def _attn_batched(qkv, *, n_valid: int, heads: int, dim_head: int, tb: int,
+                  np_: int, scale: float, cdt):
+    """(tb*np_, 3*inner) qkv -> (tb*np_, inner) attention output with the
+    HEAD loop expressed as a dot_general batch dim (this Mosaic supports
+    exactly one batch dim): per frame, ONE batched score matmul and ONE
+    batched value matmul instead of heads*2 small ones. Frames remain a
+    Python loop — batching them too would need 2 batch dims or a transpose."""
+    inner = heads * dim_head
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, np_, np_), dimension=2)
+    mask = col < n_valid
+    neg = jnp.finfo(jnp.float32).min
+
+    outs = []
+    for f in range(tb):
+        row0 = f * np_
+        frame = jax.lax.slice(qkv, (row0, 0), (row0 + np_, 3 * inner))
+        # Mosaic: batch dim must lead, and a 2D->4D minor-dim reshape does
+        # not lower — build (heads, np, dh) stacks by slicing each head's
+        # column band and concatenating on a new leading axis
+        def pick(which):
+            base = which * inner
+            return jnp.concatenate(
+                [jax.lax.slice(frame, (0, base + h * dim_head),
+                               (np_, base + (h + 1) * dim_head))
+                 .reshape(1, np_, dim_head) for h in range(heads)], axis=0)
+        q, k, v = pick(0), pick(1), pick(2)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (heads, np, np)
+        s = jnp.where(mask, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+        o = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cdt)  # (heads, np, dh)
+        outs.append(jnp.concatenate(
+            [jax.lax.slice(o, (h, 0, 0), (h + 1, np_, dim_head))
+             .reshape(np_, dim_head) for h in range(heads)], axis=1))
+    return jnp.concatenate(outs, axis=0)               # (tb*np_, inner)
+
+
 def _block_body(x32, w, *, n_valid: int, heads: int, dim_head: int, tb: int,
                 np_: int, scale: float, cdt):
     """One complete pre-norm transformer block on an in-VMEM fp32 residual
@@ -98,33 +153,39 @@ def _block_body(x32, w, *, n_valid: int, heads: int, dim_head: int, tb: int,
     qkv = jnp.dot(h, wqkv_ref[...],
                   preferred_element_type=jnp.float32).astype(cdt)
 
-    neg = jnp.finfo(jnp.float32).min
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
-    mask = col < n_valid
+    if _use_batched_attn():
+        o = _attn_batched(qkv, n_valid=n_valid, heads=heads,
+                          dim_head=dim_head, tb=tb, np_=np_, scale=scale,
+                          cdt=cdt)
+    else:
+        neg = jnp.finfo(jnp.float32).min
+        col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
+        mask = col < n_valid
 
-    outs = []
-    for f in range(tb):
-        row0 = f * np_
-        frame = jax.lax.slice(qkv, (row0, 0), (row0 + np_, 3 * inner))
-        head_outs = []
-        for hd in range(heads):
-            q = jax.lax.slice(frame, (0, hd * dim_head),
-                              (np_, (hd + 1) * dim_head))
-            k = jax.lax.slice(frame, (0, inner + hd * dim_head),
-                              (np_, inner + (hd + 1) * dim_head))
-            v = jax.lax.slice(frame, (0, 2 * inner + hd * dim_head),
-                              (np_, 2 * inner + (hd + 1) * dim_head))
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            s = jnp.where(mask, s, neg)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
-            head_outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
-                             .astype(cdt))
-        outs.append(jnp.concatenate(head_outs, axis=1))
-    o = jnp.concatenate(outs, axis=0)
+        outs = []
+        for f in range(tb):
+            row0 = f * np_
+            frame = jax.lax.slice(qkv, (row0, 0), (row0 + np_, 3 * inner))
+            head_outs = []
+            for hd in range(heads):
+                q = jax.lax.slice(frame, (0, hd * dim_head),
+                                  (np_, (hd + 1) * dim_head))
+                k = jax.lax.slice(frame, (0, inner + hd * dim_head),
+                                  (np_, inner + (hd + 1) * dim_head))
+                v = jax.lax.slice(frame, (0, 2 * inner + hd * dim_head),
+                                  (np_, 2 * inner + (hd + 1) * dim_head))
+                s = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(mask, s, neg)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+                head_outs.append(
+                    jnp.dot(p, v, preferred_element_type=jnp.float32)
+                    .astype(cdt))
+            outs.append(jnp.concatenate(head_outs, axis=1))
+        o = jnp.concatenate(outs, axis=0)
     attn_out = jnp.dot(o, wout_ref[...], preferred_element_type=jnp.float32) \
         + bout_ref[...].astype(jnp.float32)
     x32 = x32 + attn_out
