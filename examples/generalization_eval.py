@@ -113,6 +113,8 @@ def main(argv=None):
         cfg.train.pre_train_model = str(out / "il" / "bc_warm")
         cfg.sac.alpha = args.alpha_init
         cfg.sac.guidence_weight = args.guidence_weight
+        cfg.sac.nan_guard = True   # amplified guidance losses can overflow a
+                                   # bf16 update; roll back instead of dying
         expert_glob = None
         if args.expert_buffer:
             cfg.train.pre_buffer = True
