@@ -335,7 +335,8 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         # its TensorBoard hooks are commented out, DRL.py:354-357)
         sac_m = {k: float(v) for k, v in (metrics or {}).items()
                  if k in ("alpha", "alpha_loss", "policy_loss",
-                          "qf1_loss", "qf2_loss", "entropy")}
+                          "qf1_loss", "qf2_loss", "entropy",
+                          "skipped_nonfinite")}
         logger.log(ep_real, episode_reward=episode_reward, mean_reward=mean_r,
                    **sac_m)
 
