@@ -143,11 +143,14 @@ class BCTrainer:
         # epochs of PCIe/tunnel traffic and dominated BC wall-clock.
         obs_d, goal_d, act_d = (jnp.asarray(obs), jnp.asarray(goal),
                                 jnp.asarray(act))
-        nb = len(tr) // self.batch_size
+        # clamp the TRAIN batch too: a train split smaller than batch_size
+        # would stack to zero batches and silently skip every update
+        tb_size = max(1, min(self.batch_size, len(tr)))
+        nb = len(tr) // tb_size
 
         @jax.jit
         def gather(idx):
-            shape = lambda a: (nb, self.batch_size) + a.shape[1:]
+            shape = lambda a: (nb, tb_size) + a.shape[1:]
             return (jnp.take(obs_d, idx, axis=0).reshape(shape(obs_d)),
                     jnp.take(goal_d, idx, axis=0).reshape(shape(goal_d)),
                     jnp.take(act_d, idx, axis=0).reshape(shape(act_d)))
@@ -158,7 +161,7 @@ class BCTrainer:
         best_params = jax.tree_util.tree_map(np.asarray, state.params)
         hist = {"train": [], "val": []}
         for ep in range(epochs):
-            order = rng.permutation(tr)[: nb * self.batch_size]
+            order = rng.permutation(tr)[: nb * tb_size]
             bo, bg, ba = gather(jnp.asarray(order))
             state, tr_loss = self._epoch_fn(state, bo, bg, ba)
             val_loss = float(self._eval_fn(state.params, vo, vg, va_))

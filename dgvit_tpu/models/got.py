@@ -84,6 +84,11 @@ class GoT(nn.Module):
         ih, iw = self.image_size
         num_patches = (ih // ph) * (iw // pw)
 
+        # actual patch count from the INPUT — the composed path supports
+        # images smaller than the configured image_size (pos[:, :n+1]); the
+        # kernels assume the full grid, so they require an exact match
+        in_h, in_w = (img.shape[-2], img.shape[-1])
+        in_patches = (in_h // ph) * (in_w // pw)
         mega_ok = (
             inference
             and not self.is_initializing()
@@ -92,13 +97,37 @@ class GoT(nn.Module):
             and self.attn_impl in ("auto", "fused")
             and not self.capture
             and not self.seq_shard
+            and self.dropout == 0.0   # block-level dropout needs the PRNG
             and self.pool == "cls"
             and not (self.heads == 1 and self.dim_head == self.dim)
+            and in_patches == num_patches
             and num_patches + 1 <= 256
         )
         use_mega = mega_ok and deterministic
-        if use_mega:
+
+        def _mega_block_params(cdt):
+            """Shared fused-path param assembly: per-block flat tuples from
+            the Transformer submodule + the final-norm (scale, bias) pair —
+            declared with the SAME tree paths the composed path creates."""
             from dgvit_tpu.models.layers import _ln_param_init
+
+            flats = Transformer(
+                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
+                self.dropout, attn_impl=self.attn_impl, dtype=self.dtype,
+                name="transformer",
+            )(jnp.zeros((1, 1, self.dim), cdt), collect_params=True)
+            if self.final_norm == "rms":
+                g = self.param("norm_out",
+                               lambda k: {"g": jnp.ones((self.dim,))})["g"]
+                fn = (g.reshape(1, -1).astype(jnp.float32),
+                      jnp.zeros((1, self.dim), jnp.float32))
+            else:
+                no = self.param("norm_out", _ln_param_init(self.dim))
+                fn = (no["scale"].reshape(1, -1).astype(jnp.float32),
+                      no["bias"].reshape(1, -1).astype(jnp.float32))
+            return tuple(flats), fn
+
+        if use_mega:
             from dgvit_tpu.ops.got_megakernel import got_forward_fused
 
             # channel count from the INPUT (policies construct GoT without
@@ -115,27 +144,14 @@ class GoT(nn.Module):
             pe = self.param("patch_embed", pe_init)
             pos = self.param("pos_embedding", init.normal,
                              (1, num_patches + 1, self.dim))
-            flats = Transformer(
-                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-                self.dropout, attn_impl=self.attn_impl, dtype=self.dtype,
-                name="transformer",
-            )(jnp.zeros((1, 1, self.dim), cdt), collect_params=True)
-            if self.final_norm == "rms":
-                g = self.param("norm_out",
-                               lambda k: {"g": jnp.ones((self.dim,))})["g"]
-                fn = (g.reshape(1, -1).astype(jnp.float32),
-                      jnp.zeros((1, self.dim), jnp.float32))
-            else:
-                no = self.param("norm_out", _ln_param_init(self.dim))
-                fn = (no["scale"].reshape(1, -1).astype(jnp.float32),
-                      no["bias"].reshape(1, -1).astype(jnp.float32))
+            flats, fn = _mega_block_params(cdt)
 
             patches = (patchify_2d(img, ph, pw) if self.patch_mode == "2d"
                        else patchify_channels(img, ph, pw)).astype(cdt)
             return got_forward_fused(
                 patches, goal.astype(cdt),
                 (pe["kernel"].astype(cdt), pe["bias"].reshape(1, -1).astype(cdt)),
-                pos[0].astype(cdt), tuple(flats), fn,
+                pos[0].astype(cdt), flats, fn,
                 self.heads, self.dim_head, num_patches + 1, self.final_norm,
                 jax.default_backend() != "tpu",
             )
@@ -160,26 +176,12 @@ class GoT(nn.Module):
             # live-dropout inference (reference keeps train-mode dropout in
             # every learn pass): embed + dropout ran above in XLA (they need
             # the PRNG); blocks -> CLS pool -> final norm run fused
-            from dgvit_tpu.models.layers import _ln_param_init
             from dgvit_tpu.ops.got_megakernel import blocks_cls_forward_fused
 
             cdt = self.dtype or img.dtype
-            flats = Transformer(
-                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-                self.dropout, attn_impl=self.attn_impl, dtype=self.dtype,
-                name="transformer",
-            )(jnp.zeros((1, 1, self.dim), cdt), collect_params=True)
-            if self.final_norm == "rms":
-                g = self.param("norm_out",
-                               lambda k: {"g": jnp.ones((self.dim,))})["g"]
-                fn = (g.reshape(1, -1).astype(jnp.float32),
-                      jnp.zeros((1, self.dim), jnp.float32))
-            else:
-                no = self.param("norm_out", _ln_param_init(self.dim))
-                fn = (no["scale"].reshape(1, -1).astype(jnp.float32),
-                      no["bias"].reshape(1, -1).astype(jnp.float32))
+            flats, fn = _mega_block_params(cdt)
             return blocks_cls_forward_fused(
-                x.astype(cdt), tuple(flats), fn, self.heads, self.dim_head,
+                x.astype(cdt), flats, fn, self.heads, self.dim_head,
                 self.final_norm, jax.default_backend() != "tpu")
 
         x = Transformer(

@@ -41,6 +41,18 @@ from dgvit_tpu.ops.fused_transformer import (_block_body, _block_xla, _gelu32,
                                              _ln, _mlp_chunk, _round_up)
 
 
+def _final_norm32(cls, fs, fb, final_norm: str):
+    """Final RMS/Layer norm on fp32 CLS rows (models/layers.py semantics);
+    fs/fb are (1, d) fp32. Shared by both kernels and both XLA twins."""
+    d = cls.shape[-1]
+    if final_norm == "rms":
+        norm = jnp.sqrt(jnp.sum(cls * cls, axis=-1, keepdims=True))
+        return cls / jnp.maximum(norm, 1e-12) * (d ** 0.5) * fs
+    m = jnp.mean(cls, axis=-1, keepdims=True)
+    v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
+    return (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs + fb
+
+
 def _block_body_cls(x32, w, *, n_valid: int, heads: int, dim_head: int,
                     tb: int, np_: int, scale: float, cdt):
     """Final pre-norm block computed for the CLS (goal) row of each frame
@@ -155,15 +167,8 @@ def _mega_kernel(*refs, n_valid: int, heads: int, dim_head: int, depth: int,
     cls = cls.astype(cdt).astype(jnp.float32)                 # (tb, d)
 
     # --- final norm (models/layers.py RMSNorm / LayerNorm semantics) ----------
-    fs = fs_ref[...].astype(jnp.float32)
-    if final_norm == "rms":
-        norm = jnp.sqrt(jnp.sum(cls * cls, axis=-1, keepdims=True))
-        out = cls / jnp.maximum(norm, 1e-12) * (d ** 0.5) * fs
-    else:
-        m = jnp.mean(cls, axis=-1, keepdims=True)
-        v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
-        out = (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs \
-            + fb_ref[...].astype(jnp.float32)
+    out = _final_norm32(cls, fs_ref[...].astype(jnp.float32),
+                        fb_ref[...].astype(jnp.float32), final_norm)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -195,15 +200,8 @@ def _blocks_kernel(*refs, n_valid: int, heads: int, dim_head: int,
                           cdt=cdt)
     cls = cls.astype(cdt).astype(jnp.float32)
 
-    fs = fs_ref[...].astype(jnp.float32)
-    if final_norm == "rms":
-        norm = jnp.sqrt(jnp.sum(cls * cls, axis=-1, keepdims=True))
-        out = cls / jnp.maximum(norm, 1e-12) * (d ** 0.5) * fs
-    else:
-        m = jnp.mean(cls, axis=-1, keepdims=True)
-        v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
-        out = (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs \
-            + fb_ref[...].astype(jnp.float32)
+    out = _final_norm32(cls, fs_ref[...].astype(jnp.float32),
+                        fb_ref[...].astype(jnp.float32), final_norm)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -249,15 +247,8 @@ def _blocks_xla(x, blocks, fn, *, heads: int, dim_head: int,
     for w in blocks:
         x = _block_xla(x, w, heads=heads, dim_head=dim_head)
     cls = x[:, 0].astype(jnp.float32)
-    fs = fn[0].reshape(-1).astype(jnp.float32)
-    if final_norm == "rms":
-        norm = jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12)
-        out = cls / norm * (d ** 0.5) * fs
-    else:
-        m = jnp.mean(cls, axis=-1, keepdims=True)
-        v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
-        out = (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs \
-            + fn[1].reshape(-1).astype(jnp.float32)
+    out = _final_norm32(cls, fn[0].reshape(1, -1).astype(jnp.float32),
+                        fn[1].reshape(1, -1).astype(jnp.float32), final_norm)
     return out.astype(cdt)
 
 
@@ -298,7 +289,9 @@ def _mega_fwd_impl(patches, goal, pe, pos, blocks, fn, *, heads: int,
     np_ = _round_up(n_valid, 8)
     pos_p = jnp.pad(pos, ((0, np_ - n_valid), (0, 0)))
     import os
-    tb = int(os.environ.get("DGVIT_MEGA_TB", "8"))
+    # >=8: Mosaic needs 8 sublanes on the (tb, d) goal/out blocks (the tile
+    # sweep in BENCH.md found 8 fastest anyway); values below are clamped
+    tb = max(8, int(os.environ.get("DGVIT_MEGA_TB", "8")))
     # Mosaic requires >=8 sublanes on the (tb, d) goal/out blocks: pad the
     # batch up to a tile multiple instead of shrinking the tile (the padded
     # frames are dropped after the call — cheap, everything is VMEM-resident)
@@ -359,15 +352,8 @@ def _mega_xla(patches, goal, pe, pos, blocks, fn, *, heads: int,
     for w in blocks:
         x = _block_xla(x, w, heads=heads, dim_head=dim_head)
     cls = x[:, 0].astype(jnp.float32)
-    fs = fn[0].reshape(-1).astype(jnp.float32)
-    if final_norm == "rms":
-        norm = jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12)
-        out = cls / norm * (d ** 0.5) * fs
-    else:
-        m = jnp.mean(cls, axis=-1, keepdims=True)
-        v = jnp.mean(jnp.square(cls - m), axis=-1, keepdims=True)
-        out = (cls - m) * jax.lax.rsqrt(v + 1e-5) * fs \
-            + fn[1].reshape(-1).astype(jnp.float32)
+    out = _final_norm32(cls, fn[0].reshape(1, -1).astype(jnp.float32),
+                        fn[1].reshape(1, -1).astype(jnp.float32), final_norm)
     return out.astype(cdt)
 
 

@@ -341,9 +341,14 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                    **sac_m)
 
         # periodic full-train-state checkpoint — the restart points the
-        # elastic supervisor (train_elastic / core/elastic.py) resumes from
-        if t.save and t.save_interval and ep_real % t.save_interval == 0:
-            ckpt.save_train_state(ckpt_dir, ep_real, state)
+        # elastic supervisor (train_elastic / core/elastic.py) resumes from.
+        # Keyed by the LEARN-STEP counter (state.itera), which survives
+        # restore and stays monotonic across restarts — episode-keyed names
+        # would reset to 1 after a restart and lose to the stale pre-fault
+        # max in latest_checkpoint()
+        if (t.save and not t.if_test and t.save_interval
+                and ep_real % t.save_interval == 0):
+            ckpt.save_train_state(ckpt_dir, int(state.itera), state)
 
         # evaluation + checkpoint trigger (main.py:345-356)
         if (mean_r >= reward_threshold and ep_real > t.eval_threshold
@@ -359,7 +364,7 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                 ckpt.save_params_npz(os.path.join(out_dir, "models"), name,
                                      jax.tree_util.tree_map(np.asarray,
                                                             state.actor_params))
-                ckpt.save_train_state(ckpt_dir, ep_real, state)
+                ckpt.save_train_state(ckpt_dir, int(state.itera), state)
                 curve.save_npy(os.path.join(out_dir, "curves",
                                             f"eval_reward_mean_{t.desc}.npy"))
                 save_threshold = avg_reward
@@ -375,7 +380,7 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         prefetcher.close()
     # final save + summary (main.py:404-417)
     if t.save and not t.if_test:
-        ckpt.save_train_state(ckpt_dir, ep_real, state)
+        ckpt.save_train_state(ckpt_dir, int(state.itera), state)
         name = ckpt.reference_name(t.desc, int(curve.means[-1]) if curve.means
                                    else 0, t.seed)
         ckpt.save_params_npz(os.path.join(out_dir, "models"), name,

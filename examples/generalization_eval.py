@@ -79,7 +79,7 @@ def main(argv=None):
 
     demo_dir = Path(args.demos) if args.demos else out / "demos"
     if args.bc_params:
-        hist = {"val": [float("nan")]}
+        hist = None
         import shutil
         (out / "il").mkdir(parents=True, exist_ok=True)
         shutil.copy(args.bc_params + "_actor.npz",
@@ -138,7 +138,7 @@ def main(argv=None):
               f"({r['successes']}/{args.eval_episodes})", flush=True)
 
     print(json.dumps({"rrc": results["rrc"], "hospital": results["hospital"],
-                      "bc_val_rmse": float(min(hist["val"])),
+                      "bc_val_rmse": (float(min(hist["val"])) if hist else None),
                       "sac_goals": res["successes"], "recipe": hist_note}))
 
 

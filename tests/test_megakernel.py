@@ -63,7 +63,8 @@ def test_megakernel_channels_mode():
 
 
 def test_megakernel_odd_batch():
-    """b=3 forces frame tile tb=1 (the single-frame / live-control case)."""
+    """b=3: the batch is padded up to the 8-frame tile (Mosaic needs >=8
+    sublanes on the (tb, d) blocks) and the padding dropped after."""
     got, params, img, goal = _setup(batch=3)
     ref = got.apply(params, img, goal)
     out = _mega(got, params, img, goal)
