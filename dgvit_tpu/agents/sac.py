@@ -336,6 +336,22 @@ class SACAgent:
         return state.replace(critic_target_params=new_target,
                              itera=state.itera + 1)
 
+    def _apply_nan_guard(self, prev: SACTrainState, state: SACTrainState,
+                         metrics: Dict[str, jax.Array]
+                         ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
+        """Roll the whole update back when any loss went non-finite (a bf16
+        overflow in an amplified guidance loss, a saturated log-prob, ...).
+        The step counter still advances so RNG/polyak cadence move on.
+        Applied by EVERY update flavor — plain, guided, PER."""
+        ok = jnp.logical_and(
+            jnp.isfinite(metrics["qf1_loss"] + metrics["qf2_loss"]),
+            jnp.isfinite(metrics["policy_loss"]))
+        rolled = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), state, prev)
+        state = rolled.replace(itera=state.itera)
+        metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
+        return state, metrics
+
     def _train_step_impl(self, state: SACTrainState, batch
                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
         prev = state
@@ -354,13 +370,7 @@ class SACAgent:
             "alpha": alpha, "entropy": -jnp.mean(log_pi),
         }
         if self.nan_guard:
-            ok = jnp.logical_and(
-                jnp.isfinite(qf1_loss + qf2_loss), jnp.isfinite(policy_loss))
-            rolled = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(ok, n, o), state, prev)
-            # the step counter always advances so RNG/polyak cadence move on
-            state = rolled.replace(itera=state.itera)
-            metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
+            state, metrics = self._apply_nan_guard(prev, state, metrics)
         return state, metrics
 
     def learn(self, state: SACTrainState, batch) -> Tuple[SACTrainState, Dict]:
@@ -403,6 +413,8 @@ class SACAgent:
         metrics = {"qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
                    "policy_loss": policy_loss, "alpha_loss": alpha_loss,
                    "alpha": alpha}
+        if self.nan_guard:
+            state, metrics = self._apply_nan_guard(prev, state, metrics)
         return state, metrics, td
 
     def learn_per(self, state: SACTrainState, batch, is_weights):
@@ -420,6 +432,7 @@ class SACAgent:
         expert_batch: expert transitions (B, ...) with 'act' = expert action;
         n_expert: number of valid expert rows (rest are mask padding) —
         the reference's dynamic concat (DRL.py:195-220) with static shapes."""
+        prev = state
         key = jax.random.fold_in(state.rng, state.itera)
         k_tgt, k_crit, k_act, k_g, k_e = jax.random.split(key, 5)
         alpha = self._alpha_of(state)
@@ -468,6 +481,8 @@ class SACAgent:
             "policy_loss": policy_loss, "alpha_loss": alpha_loss,
             "alpha": alpha, "n_expert": n_expert.astype(jnp.float32),
         }
+        if self.nan_guard:
+            state, metrics = self._apply_nan_guard(prev, state, metrics)
         return state, metrics
 
     def learn_guidence(self, state, batch, expert_batch, n_expert):

@@ -269,3 +269,31 @@ def test_offline_per_training(tmp_path):
     buf = fill_buffer_from_demos(data, cfg)
     state, stats = train_offline(cfg, buf, steps=3, out_dir=str(tmp_path))
     assert np.isfinite(stats["final"]["policy_loss"])
+
+
+@pytest.mark.slow
+def test_nan_guard_covers_guided_and_per_steps():
+    """Regression: the gw=30 generalization run NaN'd straight through the
+    guard because only the PLAIN step honored it — learn_guidence (the path
+    every expert-buffer run takes) and learn_per must roll back too."""
+    agent = SACAgent(tiny_cfg(nan_guard=True, prioritized_replay=True))
+    state = agent.init_state(12)
+    before = jax.tree_util.tree_map(np.asarray, state.actor_params)
+    bad = make_batch(jax.random.PRNGKey(20))
+    bad["rew"] = jnp.full((B, 1), jnp.inf)
+    expert = {k: v for k, v in make_batch(jax.random.PRNGKey(21)).items()
+              if k != "engage"}
+
+    s1, m1 = agent.learn_guidence(state, bad, expert, 2)
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, s1.actor_params))):
+        np.testing.assert_array_equal(a, b)
+
+    s2, m2, _td = agent.learn_per(s1, bad, jnp.ones((B,)))
+    assert float(m2["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, s2.actor_params))):
+        np.testing.assert_array_equal(a, b)
