@@ -43,57 +43,57 @@ _K11 = gaussian_kernel_1d(11).astype(np.float32)
 
 def _down_matrices():
     """cv2 4x-downscale sampling = 0.5/0.5 average of src rows 4i+1, 4i+2."""
-    a = np.zeros((H_OUT, H_IN), np.float32)
+    a = np.zeros((H_OUT, H_IN), np.float64)
     a[np.arange(H_OUT), 4 * np.arange(H_OUT) + 1] = 0.5
     a[np.arange(H_OUT), 4 * np.arange(H_OUT) + 2] = 0.5
-    b = np.zeros((W_IN, W_OUT), np.float32)
+    b = np.zeros((W_IN, W_OUT), np.float64)
     b[4 * np.arange(W_OUT) + 1, np.arange(W_OUT)] = 0.5
     b[4 * np.arange(W_OUT) + 2, np.arange(W_OUT)] = 0.5
     return a, b
 
 
-_DOWN_ROWS, _DOWN_COLS = _down_matrices()
-
-
-def _row(x, i):
-    return jax.lax.slice_in_dim(x, i, i + 1, axis=0)
-
-
-def _col(x, i):
-    return jax.lax.slice_in_dim(x, i, i + 1, axis=1)
-
-
-def _reflect_rows(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    """REFLECT_101 pad along rows by r — static slices only (Mosaic has no
-    dynamic_slice/gather on the TC path)."""
-    h = x.shape[0]
-    top = [_row(x, r - i) for i in range(r)]            # rows r, r-1, ..., 1
-    bot = [_row(x, h - 2 - i) for i in range(r)]        # rows h-2, h-3, ...
-    return jnp.concatenate(top + [x] + bot, axis=0)
-
-
-def _reflect_cols(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    w = x.shape[1]
-    left = [_col(x, r - i) for i in range(r)]
-    right = [_col(x, w - 2 - i) for i in range(r)]
-    return jnp.concatenate(left + [x] + right, axis=1)
-
-
-def _sep_blur_inkernel(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+def _blur_mat(n: int, k: np.ndarray) -> np.ndarray:
+    """(n, n) REFLECT_101 Gaussian-blur operator acting on the leading axis
+    (dst row i = sum_t k[t] * src[reflect(i + t - r)])."""
+    m = np.zeros((n, n), np.float64)
     r = len(k) // 2
-    h, w = x.shape
-    xp = _reflect_rows(x, r)
-    acc = jnp.zeros_like(x)
-    for i in range(len(k)):
-        acc = acc + float(k[i]) * jax.lax.slice_in_dim(xp, i, i + h, axis=0)
-    xp = _reflect_cols(acc, r)
-    out = jnp.zeros_like(x)
-    for i in range(len(k)):
-        out = out + float(k[i]) * jax.lax.slice_in_dim(xp, i, i + w, axis=1)
-    return out
+    for i in range(n):
+        for t, kv in enumerate(k):
+            j = i + t - r
+            j = -j if j < 0 else (2 * (n - 1) - j if j >= n else j)
+            m[i, j] += float(kv)
+    return m
 
 
-def _kernel(seed_ref, raw_ref, down_r_ref, down_c_ref, out_ref, *,
+def _fold_matrices():
+    """The ENTIRE linear tail of the chain — 5x5 blur, center-band 11x11
+    blur, 4x bilinear downscale — folded into two constant matmul pairs:
+
+        y = A1 @ x @ B1 + A2 @ x @ B2
+
+    (the band blur applies only to rows [Y1, Y2), which makes the operator
+    non-separable as a single A @ x @ B; splitting by out-of-band/band rows
+    restores separability). This moves ~32 VPU passes per frame onto the
+    otherwise-idle MXU. All operators carry cv2's REFLECT_101 borders."""
+    r5 = _blur_mat(H_IN, _K5)
+    c5r = _blur_mat(W_IN, _K5).T
+    r11b = _blur_mat(BAND, _K11)
+    c11r = _blur_mat(W_IN, _K11).T
+    d_r, d_c = _down_matrices()
+    p = np.zeros((BAND, H_IN), np.float64)
+    p[np.arange(BAND), Y1 + np.arange(BAND)] = 1.0
+    a1 = d_r @ (np.eye(H_IN) - p.T @ p) @ r5
+    a2 = d_r @ p.T @ r11b @ p @ r5
+    b1 = c5r @ d_c
+    b2 = c5r @ c11r @ d_c
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return f32(a1), f32(b1), f32(a2), f32(b2)
+
+
+_A1, _B1, _A2, _B2 = _fold_matrices()
+
+
+def _kernel(seed_ref, raw_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
             noise_level: float):
     x = raw_ref[0].astype(jnp.float32)                      # (512, 640)
 
@@ -117,24 +117,14 @@ def _kernel(seed_ref, raw_ref, down_r_ref, down_c_ref, out_ref, *,
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
         x = jnp.clip(x + noise_level * z, 0.0, 255.0)
 
-    # 3. 5x5 blur (add_nose tail, env_lab.py:89)
-    x = _sep_blur_inkernel(x, _K5)
-
-    # 4. center-band 11x11 blur on the EXTRACTED band (env_lab.py:69-76)
-    band = jax.lax.slice_in_dim(x, Y1, Y2, axis=0)
-    band = _sep_blur_inkernel(band, _K11)
-    x = jax.lax.concatenate(
-        [jax.lax.slice_in_dim(x, 0, Y1, axis=0), band,
-         jax.lax.slice_in_dim(x, Y2, H_IN, axis=0)], dimension=0)
-
-    # 5. 4x bilinear resize == mean of the 2x2 block at (4i+1, 4j+1), fused
-    #    with /255 (env_lab.py:295-299). Expressed as two constant matmuls
-    #    (A @ x @ B) so it rides the MXU — Mosaic has no strided reshape.
-    a = down_r_ref[:]                      # (128, 512), rows sum to 1
-    bm = down_c_ref[:]                     # (640, 160)
-    s = jnp.dot(jnp.dot(a, x, preferred_element_type=jnp.float32), bm,
-                preferred_element_type=jnp.float32)
-    out_ref[0] = (s * (1.0 / 255.0)).astype(out_ref.dtype)
+    # 3.-5. blur5 -> band blur11 -> 4x downscale: the whole linear tail as
+    #    two constant matmul pairs on the MXU (see _fold_matrices), fused
+    #    with /255 (env_lab.py:295-299)
+    y = jnp.dot(jnp.dot(a1_ref[:], x, preferred_element_type=jnp.float32),
+                b1_ref[:], preferred_element_type=jnp.float32)
+    y = y + jnp.dot(jnp.dot(a2_ref[:], x, preferred_element_type=jnp.float32),
+                    b2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = (y * (1.0 / 255.0)).astype(out_ref.dtype)
 
 
 def supported_shape(shape) -> bool:
@@ -173,6 +163,10 @@ def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W_IN, W_OUT), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((H_OUT, H_IN), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W_IN, W_OUT), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H_OUT, W_OUT), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -188,4 +182,4 @@ def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
         ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32).reshape(1), raw.astype(jnp.float32),
-      jnp.asarray(_DOWN_ROWS), jnp.asarray(_DOWN_COLS))
+      jnp.asarray(_A1), jnp.asarray(_B1), jnp.asarray(_A2), jnp.asarray(_B2))
