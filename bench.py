@@ -155,9 +155,10 @@ def _bench_extra():
     goal_np = rng_np.random((n_demo, 2), np.float32)
     act_np = rng_np.random((n_demo, 2), np.float32).astype(np.float32)
     trbc = BCTrainer(model=GoTPolicy(emb_dropout=0.0), batch_size=64, seed=0)
+    trbc.fit(obs_np, goal_np, act_np, epochs=1, to_chw=False)  # compile
     t0 = time.perf_counter()
-    trbc.fit(obs_np, goal_np, act_np, epochs=6, to_chw=False)
-    dt_bc = (time.perf_counter() - t0) / 6  # incl. one-epoch compile amortized
+    trbc.fit(obs_np, goal_np, act_np, epochs=5, to_chw=False)
+    dt_bc = (time.perf_counter() - t0) / 5
     print(json.dumps({"metric": "BC epoch (2560 transitions, batch 64)",
                       "value": round(dt_bc, 3), "unit": "s/epoch"}))
 

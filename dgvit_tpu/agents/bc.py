@@ -20,6 +20,7 @@ DataLoader workers, no per-batch dispatch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -45,6 +46,19 @@ class BCTrainState:
     params: Any
     opt: Any
     epoch: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "bs"))
+def _gather_batches(obs_d, goal_d, act_d, idx, *, nb: int, bs: int):
+    """On-device shuffled batch stacking: (N, ...) corpus + (nb*bs,) index
+    permutation -> (nb, bs, ...) stacks. Module-level jit so the compile is
+    cached ACROSS BCTrainer.fit calls — a per-fit closure over the device
+    arrays re-traced (and re-compiled, ~1 min on the tunneled backend) every
+    invocation."""
+    shape = lambda a: (nb, bs) + a.shape[1:]
+    return (jnp.take(obs_d, idx, axis=0).reshape(shape(obs_d)),
+            jnp.take(goal_d, idx, axis=0).reshape(shape(goal_d)),
+            jnp.take(act_d, idx, axis=0).reshape(shape(act_d)))
 
 
 def split_80_20(n: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -148,17 +162,16 @@ class BCTrainer:
         tb_size = max(1, min(self.batch_size, len(tr)))
         nb = len(tr) // tb_size
 
-        @jax.jit
-        def gather(idx):
-            shape = lambda a: (nb, tb_size) + a.shape[1:]
-            return (jnp.take(obs_d, idx, axis=0).reshape(shape(obs_d)),
-                    jnp.take(goal_d, idx, axis=0).reshape(shape(goal_d)),
-                    jnp.take(act_d, idx, axis=0).reshape(shape(act_d)))
+        gather = functools.partial(_gather_batches, obs_d, goal_d, act_d,
+                                   nb=nb, bs=tb_size)
 
-        # host copy: state.params buffers get DONATED by _epoch_fn; if no
-        # epoch ever improves best_val the alias would be a deleted array
+        # DEVICE-side copy (jnp.copy): state.params buffers get DONATED by
+        # _epoch_fn, so a bare alias would be deleted — but a host pull here
+        # costs a device->host round trip PER LEAF per improving epoch
+        # (~1s/epoch on a tunneled backend); materialize on host ONCE at
+        # return instead
         best_val = np.inf
-        best_params = jax.tree_util.tree_map(np.asarray, state.params)
+        best_params = jax.tree_util.tree_map(jnp.copy, state.params)
         hist = {"train": [], "val": []}
         for ep in range(epochs):
             order = rng.permutation(tr)[: nb * tb_size]
@@ -169,8 +182,9 @@ class BCTrainer:
             hist["val"].append(val_loss)
             if val_loss < best_val:   # keep lowest-val actor (:830-834)
                 best_val = val_loss
-                best_params = jax.tree_util.tree_map(np.asarray, state.params)
+                best_params = jax.tree_util.tree_map(jnp.copy, state.params)
             if verbose:
                 print(f"Epoch:{ep}, Train and Validation loss are:"
                       f"{hist['train'][-1]:.4f}, {val_loss:.4f}")
-        return best_params, hist
+        # single host materialization of the winning snapshot
+        return jax.tree_util.tree_map(np.asarray, best_params), hist
