@@ -415,6 +415,12 @@ class SACAgent:
                    "alpha": alpha}
         if self.nan_guard:
             state, metrics = self._apply_nan_guard(prev, state, metrics)
+            # the TD errors feed the PER sum-tree: an inf priority would
+            # poison tree totals (and every IS weight after) permanently —
+            # report neutral priorities for a rolled-back step
+            bad = metrics["skipped_nonfinite"] > 0
+            td = jnp.where(jnp.logical_or(bad, ~jnp.isfinite(td)),
+                           jnp.ones_like(td), td)
         return state, metrics, td
 
     def learn_per(self, state: SACTrainState, batch, is_weights):

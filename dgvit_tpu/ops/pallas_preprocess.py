@@ -179,9 +179,11 @@ def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, H_OUT, W_OUT), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=b * H_IN * W_IN * 40,
+            # two A@x@B matmul pairs dominate; Irwin-Hall noise has NO
+            # transcendentals (12 PRNG draws + adds ride bytes/flops noise)
+            flops=b * 2 * 2 * (H_OUT * H_IN * W_IN + H_OUT * W_IN * W_OUT),
             bytes_accessed=b * (H_IN * W_IN + H_OUT * W_OUT) * 4,
-            transcendentals=b * H_IN * W_IN * 3,
+            transcendentals=0,
         ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32).reshape(1), raw.astype(jnp.float32),

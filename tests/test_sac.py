@@ -297,3 +297,16 @@ def test_nan_guard_covers_guided_and_per_steps():
                     jax.tree_util.tree_leaves(
                         jax.tree_util.tree_map(np.asarray, s2.actor_params))):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_nan_guard_per_td_errors_stay_finite():
+    """The PER TD errors feed the sum-tree: a rolled-back step must report
+    finite neutral priorities, not the inf that poisoned tree totals."""
+    agent = SACAgent(tiny_cfg(nan_guard=True, prioritized_replay=True))
+    state = agent.init_state(13)
+    bad = make_batch(jax.random.PRNGKey(30))
+    bad["rew"] = jnp.full((B, 1), jnp.inf)
+    _s, m, td = agent.learn_per(state, bad, jnp.ones((B,)))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    assert np.isfinite(np.asarray(td)).all()
