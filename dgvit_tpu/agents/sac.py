@@ -287,9 +287,13 @@ class SACAgent:
         def loss_fn(ap):
             s = self._sample_actor(ap, batch["obs"], batch["pobs"], k1,
                                    dropout_key=k2)
+            # the critic TRUNK latent is constant w.r.t. ap (the action joins
+            # after the trunk, got_sac_network.py:114) — no gradient flows
+            # into it, so the fused no-grad path applies
             q1_pi, q2_pi = self._apply_critic(state.critic_params,
                                               batch["obs"], batch["pobs"],
-                                              s.action, dropout_key=k3)
+                                              s.action, dropout_key=k3,
+                                              inference=True)
             min_q = jnp.minimum(q1_pi, q2_pi)
             per_elem = alpha * s.log_prob - min_q  # (B,1)-(B,2) broadcast
             if weights is None:
