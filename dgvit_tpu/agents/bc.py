@@ -140,6 +140,13 @@ class BCTrainer:
             obs = np.transpose(obs, (0, 3, 1, 2))  # torch permute(0,3,1,2)
         goal = goal[:, :2]
         tr, va = split_80_20(len(obs), seed)
+        # degenerate tiny datasets: int(0.8*1) == 0 makes the TRAIN split
+        # empty (zero batches -> NaN epoch loss); guard both splits so losses
+        # stay finite and best-checkpoint selection still works
+        if len(tr) == 0:
+            tr = va
+        if len(va) == 0:
+            va = tr[: max(1, len(tr) // 5)]
         rng = np.random.default_rng(seed)
 
         state = self.init_state(obs_shape=obs.shape[1:],

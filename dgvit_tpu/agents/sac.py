@@ -135,6 +135,8 @@ class SACAgent:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._per_step = jax.jit(self._per_step_impl, donate_argnums=(0,))
         self._guided_step = jax.jit(self._guided_step_impl, donate_argnums=(0,))
+        self._guided_per_step = jax.jit(self._guided_per_step_impl,
+                                        donate_argnums=(0,))
         self._act = jax.jit(self._act_impl, static_argnames=("evaluate", "dropout"))
 
     # ------------------------------------------------------------------
@@ -421,10 +423,19 @@ class SACAgent:
             state, metrics = self._apply_nan_guard(prev, state, metrics)
             # the TD errors feed the PER sum-tree: an inf priority would
             # poison tree totals (and every IS weight after) permanently —
-            # report neutral priorities for a rolled-back step
+            # report neutral priorities for a rolled-back step. "Neutral"
+            # must be scale-aware (typical |td| >> 1 at the ±200 reward
+            # scale, so a fixed 1.0 would sharply demote affected rows):
+            # use the batch mean of the finite |td| values, falling back to
+            # 1.0 only when the whole batch went non-finite.
             bad = metrics["skipped_nonfinite"] > 0
-            td = jnp.where(jnp.logical_or(bad, ~jnp.isfinite(td)),
-                           jnp.ones_like(td), td)
+            finite = jnp.isfinite(td)
+            n_fin = jnp.sum(finite.astype(jnp.float32))
+            neutral = jnp.where(
+                n_fin > 0,
+                jnp.sum(jnp.where(finite, td, 0.0)) / jnp.maximum(n_fin, 1.0),
+                1.0)
+            td = jnp.where(jnp.logical_or(bad, ~finite), neutral, td)
         return state, metrics, td
 
     def learn_per(self, state: SACTrainState, batch, is_weights):
@@ -435,13 +446,16 @@ class SACAgent:
     # ------------------------------------------------------------------
     # guided update (DRL.py learn_guidence)
     # ------------------------------------------------------------------
-    def _guided_step_impl(self, state: SACTrainState, batch, expert_batch,
-                          n_expert: jax.Array
-                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
+    def _guided_core(self, state: SACTrainState, batch, expert_batch,
+                     n_expert: jax.Array, agent_weights: jax.Array):
         """batch: agent transitions (B, ...), includes 'engage';
         expert_batch: expert transitions (B, ...) with 'act' = expert action;
         n_expert: number of valid expert rows (rest are mask padding) —
-        the reference's dynamic concat (DRL.py:195-220) with static shapes."""
+        the reference's dynamic concat (DRL.py:195-220) with static shapes;
+        agent_weights: per-agent-row loss weights — all-ones for the plain
+        guided step, PER importance weights for the guided+PER combination.
+        Returns (state, metrics, td) with td = per-agent-row |TD error| so
+        the PER path can update priorities."""
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
         k_tgt, k_crit, k_act, k_g, k_e = jax.random.split(key, 5)
@@ -454,11 +468,27 @@ class SACAgent:
             k: jnp.concatenate([batch[k], expert_batch[k]], axis=0)
             for k in ("obs", "pobs", "act", "rew", "next_obs", "next_pobs", "done")
         }
-        weights = jnp.concatenate([jnp.ones((b,), jnp.float32), valid])
+        weights = jnp.concatenate([agent_weights, valid])
 
         target = self._td_target(state, alpha, merged, k_tgt)
-        state, qf1_loss, qf2_loss = self._critic_update(
-            state, merged, target, k_crit, weights=weights)
+
+        def critic_loss_fn(cp):
+            q1, q2 = self._apply_critic(cp, merged["obs"], merged["pobs"],
+                                        merged["act"], dropout_key=k_crit)
+            td = jnp.abs(q1 - target).mean(axis=1)[:b]
+            w = weights.reshape(-1, 1)
+            denom = jnp.sum(w) * q1.shape[1]
+            l1 = jnp.sum(w * jnp.square(q1 - target)) / denom
+            l2 = jnp.sum(w * jnp.square(q2 - target)) / denom
+            return l1 + l2, (l1, l2, td)
+
+        (_, (qf1_loss, qf2_loss, td)), grads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True)(state.critic_params)
+        updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
+                                                 state.critic_params)
+        state = state.replace(
+            critic_params=optax.apply_updates(state.critic_params, updates),
+            critic_opt=new_opt)
 
         # expert BC loss on deterministic mean action (DRL.py:257-265)
         def guidence_loss(ap):
@@ -493,11 +523,46 @@ class SACAgent:
         }
         if self.nan_guard:
             state, metrics = self._apply_nan_guard(prev, state, metrics)
+            # scale-aware neutral priorities for rolled-back steps (see
+            # _per_step_impl for rationale)
+            bad = metrics["skipped_nonfinite"] > 0
+            finite = jnp.isfinite(td)
+            n_fin = jnp.sum(finite.astype(jnp.float32))
+            neutral = jnp.where(
+                n_fin > 0,
+                jnp.sum(jnp.where(finite, td, 0.0)) / jnp.maximum(n_fin, 1.0),
+                1.0)
+            td = jnp.where(jnp.logical_or(bad, ~finite), neutral, td)
+        return state, metrics, td
+
+    def _guided_step_impl(self, state: SACTrainState, batch, expert_batch,
+                          n_expert: jax.Array
+                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
+        b = batch["obs"].shape[0]
+        state, metrics, _td = self._guided_core(
+            state, batch, expert_batch, n_expert, jnp.ones((b,), jnp.float32))
         return state, metrics
+
+    def _guided_per_step_impl(self, state: SACTrainState, batch, expert_batch,
+                              n_expert: jax.Array, is_weights: jax.Array):
+        """Guided + PER composition: agent rows weighted by PER importance
+        weights, expert rows by validity; per-agent-row TD errors returned so
+        the caller updates sum-tree priorities (fixes the silently-degenerate
+        pre_buffer+prioritized_replay combination that paid sum-tree costs to
+        sample uniformly)."""
+        return self._guided_core(state, batch, expert_batch, n_expert,
+                                 is_weights)
 
     def learn_guidence(self, state, batch, expert_batch, n_expert):
         return self._guided_step(state, batch, expert_batch,
                                  jnp.asarray(n_expert, jnp.int32))
+
+    def learn_guidence_per(self, state, batch, expert_batch, n_expert,
+                           is_weights):
+        """PER-aware guided update: returns (state, metrics, td_errors)."""
+        return self._guided_per_step(
+            state, batch, expert_batch, jnp.asarray(n_expert, jnp.int32),
+            jnp.asarray(is_weights, jnp.float32))
 
     @staticmethod
     def expert_batch_size(exp_buffer_size: int, agent_buffer_size: int,

@@ -115,6 +115,11 @@ class SACConfig:
         assert self.action_dim > 0 and self.pstate_dim > 0
         assert 0.0 < self.gamma <= 1.0
         assert 0.0 < self.tau <= 1.0
+        # log_alpha is initialized to log(alpha) (agents/sac.py init_state);
+        # alpha <= 0 would seed the train state with -inf/NaN
+        assert self.alpha > 0.0, (
+            "sac.alpha must be > 0 (it seeds log_alpha); to disable entropy "
+            "regularization set auto_tune_alpha=False with a small alpha")
 
 
 @dataclass
@@ -210,7 +215,14 @@ class Config:
         return cls.from_dict(data)
 
     def to_dict(self) -> Dict[str, Any]:
-        return dataclasses.asdict(self)
+        def listify(x):
+            if isinstance(x, dict):
+                return {k: listify(v) for k, v in x.items()}
+            if isinstance(x, tuple):
+                return list(x)  # YAML-serializable (safe_dump rejects tuples)
+            return x
+
+        return listify(dataclasses.asdict(self))
 
 
 def load_reference_yaml(path: str) -> Config:

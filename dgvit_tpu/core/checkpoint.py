@@ -45,6 +45,28 @@ def restore_train_state(path: str, template: Any) -> Any:
                                   template, restored)
 
 
+def prune_checkpoints(directory: str, keep: int = 3) -> int:
+    """Delete all but the newest `keep` step_<N> checkpoints (highest step
+    wins). Long runs with periodic saves would otherwise accumulate unbounded
+    checkpoint directories. Returns the number pruned."""
+    import shutil
+
+    d = Path(directory)
+    if not d.exists():
+        return 0
+    steps = []
+    for p in d.iterdir():
+        m = re.fullmatch(r"step_(\d+)", p.name)
+        if m:
+            steps.append((int(m.group(1)), p))
+    steps.sort()
+    pruned = 0
+    for _, p in steps[:-keep] if keep > 0 else steps:
+        shutil.rmtree(p, ignore_errors=True)
+        pruned += 1
+    return pruned
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     d = Path(directory)
     if not d.exists():

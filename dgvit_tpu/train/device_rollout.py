@@ -28,10 +28,12 @@ class RolloutResult(NamedTuple):
     dones: jax.Array     # (T,) 1.0 after the episode has ended
     actions: jax.Array   # (T, A) raw policy actions (pre-scaling)
     steps: jax.Array     # scalar: valid step count
+    targets: jax.Array   # (T,) 1.0 on the step the goal was reached
 
 
 def make_env_step_callback(env: Env, obs_shape, goal_dim: int = 4):
-    """Wrap env.step for io_callback: action (2,) -> (obs, goal, reward, done)."""
+    """Wrap env.step for io_callback:
+    action (2,) -> (obs, goal, reward, done, target)."""
 
     def host_step(a_in):
         s = env.step([float(a_in[0]), float(a_in[1])], 0)
@@ -41,11 +43,13 @@ def make_env_step_callback(env: Env, obs_shape, goal_dim: int = 4):
         return (obs.astype(np.float32),
                 np.asarray(s.to_goal, np.float32),
                 np.float32(s.reward),
-                np.float32(1.0 if s.done else 0.0))
+                np.float32(1.0 if s.done else 0.0),
+                np.float32(1.0 if s.target else 0.0))
 
     result_shapes = (
         jax.ShapeDtypeStruct(obs_shape, jnp.float32),
         jax.ShapeDtypeStruct((goal_dim,), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
     )
@@ -73,16 +77,18 @@ def device_rollout(agent, state, env: Env, max_steps: int,
             a_in = jnp.stack([(a[0] + 1.0) * l_scale, a[1] * a_scale])
             # freeze commands once the episode has ended (scan is fixed-length)
             a_in = jnp.where(ended > 0, jnp.zeros_like(a_in), a_in)
-            nobs, ngoal, rew, done = io_callback(
+            nobs, ngoal, rew, done, target = io_callback(
                 host_step, result_shapes, a_in, ordered=True)
             rew = jnp.where(ended > 0, 0.0, rew)
+            target = jnp.where(ended > 0, 0.0, target)
             new_ended = jnp.maximum(ended, done)
-            return (nobs, ngoal, new_ended), (rew, new_ended, a)
+            return (nobs, ngoal, new_ended), (rew, new_ended, a, target)
 
-        (_, _, ended), (rews, dones, acts) = jax.lax.scan(
+        (_, _, ended), (rews, dones, acts, targets) = jax.lax.scan(
             body, (obs0, goal0, jnp.float32(0.0)), jnp.arange(max_steps))
         steps = jnp.sum(dones == 0) + jnp.minimum(jnp.sum(dones > 0), 1)
-        return RolloutResult(rews, dones, acts, steps.astype(jnp.int32))
+        return RolloutResult(rews, dones, acts, steps.astype(jnp.int32),
+                             targets)
 
     return run(state.actor_params, jnp.asarray(obs0, jnp.float32),
                jnp.asarray(r.to_goal, jnp.float32), rng)

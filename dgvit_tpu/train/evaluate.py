@@ -1,12 +1,23 @@
 """Evaluation driver — testing.py:40-158 rebuilt: load a trained actor,
 run N deterministic episodes, report success rate / collisions / durations,
-append results/testing_data.txt."""
+append results/testing_data.txt.
+
+Two episode loops:
+  * host loop (default): reference-shaped Python loop, one device dispatch
+    per step (testing.py:103-144).
+  * --device-rollout: the whole episode is ONE jitted lax.scan with the env
+    behind an ordered io_callback (train/device_rollout.py) — the SURVEY
+    §2.3 host-boundary commitment, now reachable from a driver.
+
+Goal-reach durations are reported in SIMULATED seconds (steps * env.DT), not
+wall-clock — the reference measured real-time Gazebo where wall-clock was
+meaningful; on a kinematic CI world wall-clock would just measure host speed.
+"""
 
 from __future__ import annotations
 
 import argparse
 import os
-import time
 from typing import Optional
 
 import jax
@@ -16,16 +27,41 @@ from dgvit_tpu.config import Config
 from dgvit_tpu.core import checkpoint as ckpt
 from dgvit_tpu.core.rng import RngStream
 from dgvit_tpu.envs import Env, KinematicNavEnv
-from dgvit_tpu.models import build_actor, distributions
+from dgvit_tpu.models import build_actor
 from dgvit_tpu.utils import MetricsLogger
 
 
+def _maybe_stacker(cfg: Config):
+    """Channels-mode actors (the Imitation_learning.py:118-121 frame-stacked
+    patch embed) consume (C, H, W) observations; single-frame envs feed them
+    through an online FrameStacker."""
+    if cfg.model.patch_mode == "channels":
+        from dgvit_tpu.train.train_rl import FrameStacker
+        return FrameStacker(cfg.env.frame_stack)
+    return None
+
+
+def _squeeze_obs(state: np.ndarray) -> np.ndarray:
+    return np.squeeze(state, -1) if state.ndim == 3 else state
+
+
 def run_eval(cfg: Config, env: Env, actor_params, max_episodes: int = 100,
-             out_dir: str = "results", name: str = "model") -> dict:
+             out_dir: str = "results", name: str = "model",
+             device_rollout_loop: bool = False) -> dict:
     e = cfg.env
     rng = RngStream(cfg.train.seed)
-    actor = build_actor(cfg)
+    dt = float(getattr(env, "DT", 0.1))  # sim-time per step (env_lab.py:204)
+    # a reused env carries its previous run's collision count — reset so the
+    # returned dict reports THIS eval's collisions
+    if hasattr(env, "collision"):
+        env.collision = 0
 
+    if device_rollout_loop:
+        return _run_eval_device(cfg, env, actor_params, max_episodes,
+                                out_dir, name, dt)
+
+    actor = build_actor(cfg)
+    stacker = _maybe_stacker(cfg)
     deterministic_actor = cfg.model.actor_type.startswith("Deterministic")
 
     @jax.jit
@@ -43,29 +79,72 @@ def run_eval(cfg: Config, env: Env, actor_params, max_episodes: int = 100,
     cntr2 = 0
     total_rel = max_episodes
     durations = []
-    done = False
     for ep in range(max_episodes):
         r = env.reset()
-        obs = np.squeeze(r.state, -1) if r.state.ndim == 3 else r.state
+        obs = _squeeze_obs(r.state)
+        if stacker:
+            obs = stacker.reset(obs)
         goal = r.to_goal
-        start_time = time.time()
         for timestep in range(e.max_steps):
             a = np.asarray(act_fn(actor_params, jax.numpy.asarray(obs),
                                   jax.numpy.asarray(goal[:2])))
             a = a.clip(-e.max_action, e.max_action)
             a_in = [(a[0] + 1) * e.linear_cmd_scale, a[1] * e.angular_cmd_scale]
             s = env.step(a_in, timestep)
-            obs = np.squeeze(s.state, -1) if s.state.ndim == 3 else s.state
+            obs = _squeeze_obs(s.state)
+            if stacker:
+                obs = stacker.push(obs)
             goal = s.to_goal
             if timestep == 0 and s.done:
                 total_rel -= 1  # Bad initialization (testing.py:117-121)
                 break
             if s.target:
                 cntr2 += 1
-                durations.append(time.time() - start_time)
+                durations.append((timestep + 1) * dt)
             if s.done or timestep == e.max_steps - 1:
                 break
 
+    return _report(cfg, env, cntr2, total_rel, durations, out_dir, name)
+
+
+def _run_eval_device(cfg: Config, env: Env, actor_params, max_episodes: int,
+                     out_dir: str, name: str, dt: float) -> dict:
+    """Episode loop as the jitted io_callback scan (device_rollout)."""
+    from dgvit_tpu.agents import SACAgent
+    from dgvit_tpu.train.device_rollout import device_rollout
+
+    if cfg.model.patch_mode == "channels":
+        raise ValueError("--device-rollout does not support frame-stacked "
+                         "(channels-mode) actors yet; use the host loop")
+
+    e = cfg.env
+    agent = SACAgent(cfg)
+    state = agent.init_state(cfg.train.seed).replace(actor_params=actor_params)
+
+    cntr2 = 0
+    total_rel = max_episodes
+    durations = []
+    for ep in range(max_episodes):
+        out = device_rollout(agent, state, env, e.max_steps,
+                             e.linear_cmd_scale, e.angular_cmd_scale,
+                             jax.random.PRNGKey(cfg.train.seed + ep),
+                             evaluate=True)
+        dones = np.asarray(out.dones)
+        targets = np.asarray(out.targets)
+        if dones[0] > 0:
+            total_rel -= 1  # Bad initialization (testing.py:117-121)
+            continue
+        hit = np.flatnonzero(targets > 0)
+        if hit.size:
+            cntr2 += 1
+            durations.append(float(hit[0] + 1) * dt)
+
+    return _report(cfg, env, cntr2, total_rel, durations, out_dir, name)
+
+
+def _report(cfg: Config, env: Env, cntr2: int, total_rel: int, durations,
+            out_dir: str, name: str) -> dict:
+    e = cfg.env
     s_r = cntr2 / max(total_rel, 1)
     logger = MetricsLogger(out_dir, "testing")
     logger.append_txt(
@@ -90,6 +169,9 @@ def main(argv=None):
                    help="kinematic world preset (rrc | hospital) — "
                         "'hospital' is the unseen-layout generalization "
                         "eval (reference README.md:43-51, hospital.world)")
+    p.add_argument("--device-rollout", action="store_true",
+                   help="run each episode as one jitted io_callback scan "
+                        "(policy + action scaling on device; env on host)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
@@ -97,12 +179,17 @@ def main(argv=None):
                           image_hw=tuple(cfg.model.image_size),
                           world=args.world)
     actor = build_actor(cfg)
-    template = actor.init(jax.random.PRNGKey(0),
-                          np.zeros((1,) + tuple(cfg.model.image_size)),
+    ih, iw = cfg.model.image_size
+    if cfg.model.patch_mode == "channels":
+        obs0 = np.zeros((1, cfg.env.frame_stack, ih, iw))
+    else:
+        obs0 = np.zeros((1, ih, iw))
+    template = actor.init(jax.random.PRNGKey(0), obs0,
                           np.zeros((1, cfg.sac.pstate_dim)))["params"]
     params = ckpt.load_params_npz(args.actor, template)
     out = run_eval(cfg, env, params, args.episodes, args.out,
-                   os.path.basename(args.actor))
+                   os.path.basename(args.actor),
+                   device_rollout_loop=args.device_rollout)
     print(f"success rate: {out['success_rate'] * 100:.1f}% "
           f"({out['successes']} goals), collisions: {out['collisions']}")
 

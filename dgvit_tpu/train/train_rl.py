@@ -279,10 +279,12 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                     if use_guided or (t.human_intervention
                                       and intervention is not None):
                         ab = buf.sample(s.batch_size)
-                        # PER bookkeeping keys must not ride into the jitted
-                        # guided step as dead pytree leaves
-                        ab.pop("weights", None)
-                        ab.pop("indexes", None)
+                        # PER bookkeeping keys: with prioritized_replay on,
+                        # the IS weights feed the guided+PER step and the
+                        # indexes receive priority updates; otherwise they
+                        # must not ride into the jitted step as dead leaves
+                        w = ab.pop("weights", None)
+                        idx = ab.pop("indexes", None)
                         if expert_buf is not None:
                             k = agent.expert_batch_size(
                                 expert_size, buf.get_stored_size(),
@@ -296,8 +298,14 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
                             eb = {key: np.zeros_like(v)
                                   for key, v in ab.items() if key != "engage"}
                         eb.pop("engage", None)  # only the agent batch's engage is used
-                        state, metrics = agent.learn_guidence(
-                            state, to_batch(ab), to_batch(eb), k)
+                        if s.prioritized_replay and w is not None:
+                            state, metrics, td = agent.learn_guidence_per(
+                                state, to_batch(ab), to_batch(eb), k, w)
+                            buf.update_priorities(
+                                idx, np.abs(np.asarray(td)) + 1e-6)
+                        else:
+                            state, metrics = agent.learn_guidence(
+                                state, to_batch(ab), to_batch(eb), k)
                     elif s.prioritized_replay:
                         d = buf.sample(s.batch_size)
                         w = d.pop("weights")
@@ -349,6 +357,9 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         if (t.save and not t.if_test and t.save_interval
                 and ep_real % t.save_interval == 0):
             ckpt.save_train_state(ckpt_dir, int(state.itera), state)
+            # retention: keep only the newest few periodic checkpoints so
+            # long runs don't accumulate unbounded step_* directories
+            ckpt.prune_checkpoints(ckpt_dir, keep=3)
 
         # evaluation + checkpoint trigger (main.py:345-356)
         if (mean_r >= reward_threshold and ep_real > t.eval_threshold
@@ -410,7 +421,10 @@ def train_elastic(cfg: Config, env_factory, out_dir: str = "results",
     full-train-state checkpoint (params, targets, optimizers, alpha, step,
     RNG). Agent state resumes exactly; the episode counter restarts (RL
     episodes are not a deterministic data stream, unlike the offline
-    trainers, so there is nothing to replay)."""
+    trainers, so there is nothing to replay). NOTE: the replay buffer is
+    NOT checkpointed — a restart resumes with an EMPTY buffer, and updates
+    pause until batch_size fresh transitions accumulate (persist the buffer
+    separately via replay.buffer save/load if a run cannot afford that)."""
     import logging
 
     from dgvit_tpu.core.elastic import default_failure_types
