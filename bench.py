@@ -105,6 +105,46 @@ def _bench_extra():
         print(json.dumps({"metric": "megakernel equivalence (on-chip)",
                           "value": 1, "unit": "pass"}))
 
+    # cls_final_block backward on-chip gradient equivalence vs the XLA twin
+    # (runs in every TPU training step via Transformer(cls_final=True); CPU
+    # tests only cover interpret mode)
+    if jax.default_backend() == "tpu":
+        from dgvit_tpu.ops.cls_block import _cls_block_xla, cls_final_block
+        from dgvit_tpu.ops.fused_transformer import _block_params_flat
+
+        kd, d, hds, dh, mlp = jax.random.PRNGKey(11), 64, 4, 64, 256
+        inner = hds * dh
+        kk = jax.random.split(kd, 12)
+        tree = {
+            "attn_norm": {"scale": 1 + 0.1 * jax.random.normal(kk[0], (d,)),
+                          "bias": 0.1 * jax.random.normal(kk[1], (d,))},
+            "attn": {"to_qkv": {"kernel": jax.random.normal(kk[2], (d, 3 * inner)) * 0.05},
+                     "to_out": {"kernel": jax.random.normal(kk[3], (inner, d)) * 0.05,
+                                "bias": 0.02 * jax.random.normal(kk[4], (d,))}},
+            "ff_norm": {"scale": 1 + 0.1 * jax.random.normal(kk[5], (d,)),
+                        "bias": 0.1 * jax.random.normal(kk[6], (d,))},
+            "ff": {"fc1": {"kernel": jax.random.normal(kk[7], (d, mlp)) * 0.05,
+                           "bias": 0.02 * jax.random.normal(kk[8], (mlp,))},
+                   "fc2": {"kernel": jax.random.normal(kk[9], (mlp, d)) * 0.05,
+                           "bias": 0.02 * jax.random.normal(kk[10], (d,))}},
+        }
+        flat = _block_params_flat(tree, jnp.float32)
+        xg = jax.random.normal(kk[11], (8, 65, d)) * 0.5
+
+        gk = jax.jit(jax.grad(lambda x, f: jnp.sum(
+            jnp.sin(cls_final_block(x, f, hds, dh))), argnums=(0, 1)))
+        gx = jax.jit(jax.grad(lambda x, f: jnp.sum(
+            jnp.sin(_cls_block_xla(x, f, heads=hds, dim_head=dh))),
+            argnums=(0, 1)))
+        (dx_k, df_k), (dx_x, df_x) = gk(xg, flat), gx(xg, flat)
+        derr = float(jnp.abs(dx_k - dx_x).max())
+        for gk_, gx_ in zip(df_k, df_x):
+            derr = max(derr, float(jnp.abs(gk_ - gx_).max())
+                       / max(1.0, float(jnp.abs(gx_).max())))
+        assert derr < 5e-2, f"cls_final_block grad drift on-chip: {derr}"
+        print(json.dumps({"metric": "cls_final_block grad equivalence (on-chip)",
+                          "value": 1, "unit": "pass"}))
+
     # (4)+(5) fused SAC update throughput (replay batch resident on device)
     cfg = Config()
     agent = SACAgent(cfg, dtype=jnp.bfloat16)
@@ -143,6 +183,38 @@ def _bench_extra():
                       "value": round(1.0 / dt, 2), "unit": "updates/s"}))
     print(json.dumps({"metric": "SAC train throughput",
                       "value": round(bs / dt, 1), "unit": "transitions/s"}))
+
+    # shard_map DP wrapper overhead at data=1: the fused path composed with
+    # the mesh (parallel.shardmap_learn) must cost ~nothing on one chip —
+    # the multi-chip scaling story is free only if this ratio stays ~1.0
+    from dgvit_tpu.core.mesh import MeshRuntime
+    from dgvit_tpu.parallel import shardmap_learn
+
+    rt1 = MeshRuntime.create(data=1, devices=jax.devices()[:1])
+    agent_sm = SACAgent(cfg, dtype=jnp.bfloat16, grad_axis="data")
+    state_sm = agent_sm.init_state(0)
+    sm_step = shardmap_learn(agent_sm, rt1, flavor="plain", raw=True)
+
+    @jax.jit
+    def sm_loop(state, batch):  # identical scan harness to sac_loop
+        def body(s, _):
+            s, m = sm_step(s, batch)
+            return s, m["qf1_loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n)
+        return s, losses.sum()
+
+    state_sm, v_sm = sm_loop(state_sm, batch)  # compile
+    float(v_sm)
+    best_sm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_sm, v_sm = sm_loop(state_sm, batch)
+        float(v_sm)
+        best_sm = min(best_sm, time.perf_counter() - t0)
+    dt_sm = best_sm / n
+    print(json.dumps({"metric": "shard_map(data=1) SAC updates/sec",
+                      "value": round(1.0 / dt_sm, 2), "unit": "updates/s",
+                      "overhead_vs_unsharded": round(dt_sm / dt, 3)}))
 
     # BC epoch throughput (device-resident dataset: corpus moves to HBM once,
     # epochs gather shuffled batches on-device — agents/bc.py)
@@ -254,6 +326,14 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--all" in sys.argv:
-        _bench_extra()
+    # Default run emits ALL BASELINE.json configs, one JSON line each, with
+    # the headline LAST (the driver records the last line); --headline-only
+    # skips the extras for quick checks. Extras failing must never mask the
+    # headline.
+    if "--headline-only" not in sys.argv:
+        try:
+            _bench_extra()
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "bench extras failed",
+                              "value": 0, "unit": repr(e)[:200]}))
     main()

@@ -83,8 +83,24 @@ class SACTrainState:
 class SACAgent:
     """Builds modules/optimizers and exposes jitted functional steps."""
 
-    def __init__(self, cfg: Config, dtype=None):
+    def __init__(self, cfg: Config, dtype=None, grad_axis: Optional[str] = None,
+                 row_noise: Optional[bool] = None):
+        """`grad_axis`: name of a mapped mesh axis (shard_map/pmap) the step
+        runs under — gradients/metrics are pmean'd over it and sum-form loss
+        denominators are psum'd, so a batch sharded over that axis computes
+        the SAME update as the unsharded step. This is how the fused Pallas
+        train path composes with the `data` mesh (parallel.shardmap_learn):
+        GSPMD cannot partition pl.pallas_call, but shard_map hands each
+        device its local batch shard and the kernels run unchanged.
+
+        `row_noise`: draw per-row (globally-indexed) action noise so shard i
+        reproduces exactly rows [i*b_local, (i+1)*b_local) of the
+        single-device noise stream (defaults to True when grad_axis is set;
+        settable on an unsharded agent to build the equality baseline)."""
         self.cfg = cfg
+        self.grad_axis = grad_axis
+        self.row_noise = bool(row_noise) if row_noise is not None \
+            else grad_axis is not None
         if dtype is None and getattr(cfg.model, "compute_dtype",
                                      "float32") == "bfloat16":
             # model.compute_dtype drives the TPU fast path (bf16 matmuls,
@@ -103,6 +119,9 @@ class SACAgent:
         self.nan_guard = bool(getattr(s, "nan_guard", False))
         self.guidence_weight = float(s.guidence_weight)
         self.engage_weight = float(s.engage_weight)
+        gw_final = getattr(s, "guidence_weight_final", None)
+        self.gw_final = None if gw_final is None else float(gw_final)
+        self.gw_decay_steps = int(getattr(s, "guidence_decay_steps", 0) or 0)
         self.deterministic_actor = cfg.model.actor_type.startswith("Deterministic")
         # unbatched observation rank: 2 for single-frame (H, W); 3 for the
         # frame-stacked GoT 'channels' mode (C, H, W) and the 4-channel CNN
@@ -179,6 +198,56 @@ class SACAgent:
         )
 
     # ------------------------------------------------------------------
+    # grad-axis (shard_map DP) plumbing — all no-ops when grad_axis is None
+    # ------------------------------------------------------------------
+    def _sync_grads(self, grads):
+        """pmean over the mapped data axis: with per-shard mean losses this
+        yields exactly the global-batch gradient."""
+        if self.grad_axis is None:
+            return grads
+        return jax.lax.pmean(grads, self.grad_axis)
+
+    def _sync_mean(self, x):
+        if self.grad_axis is None:
+            return x
+        return jax.lax.pmean(x, self.grad_axis)
+
+    def _denom(self, denom_local, guard: Optional[float] = None):
+        """Sum-form loss denominator. Under grad_axis, returns
+        max(psum(denom), guard) / n so that local_loss = local_num / denom
+        pmean-syncs to the exact global weighted loss."""
+        if self.grad_axis is None:
+            d = denom_local
+        else:
+            n = jax.lax.psum(jnp.ones((), jnp.float32), self.grad_axis)
+            d = jax.lax.psum(denom_local, self.grad_axis)
+            if guard is not None:
+                return jnp.maximum(d, guard) / n
+            return d / n
+        return jnp.maximum(d, guard) if guard is not None else d
+
+    def _shard_key(self, key):
+        """Decorrelate batch-shaped draws (dropout masks) across shards.
+        NOT bit-equal to the single-device stream — exact-equality tests run
+        with dropout off; live training only needs independence."""
+        if self.grad_axis is None:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index(self.grad_axis) + 1)
+
+    def _row_noise_draw(self, key, b: int, dim: int, rows=None):
+        """(b, dim) standard-normal noise where row r depends only on
+        (key, global row index) — shard-invariant by construction. `rows`
+        overrides the global indices for batches whose local rows are not a
+        contiguous global slice (the guided step's agent++expert concat)."""
+        if rows is None:
+            row0 = jnp.int32(0)
+            if self.grad_axis is not None:
+                row0 = jax.lax.axis_index(self.grad_axis) * b
+            rows = jnp.arange(b, dtype=jnp.int32) + row0
+        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, rows)
+        return jax.vmap(lambda k: jax.random.normal(k, (dim,)))(keys)
+
+    # ------------------------------------------------------------------
     # pieces
     # ------------------------------------------------------------------
     def _alpha_of(self, state: SACTrainState) -> jax.Array:
@@ -187,27 +256,33 @@ class SACAgent:
         return jnp.asarray(self.fixed_alpha, jnp.float32)
 
     def _sample_actor(self, params, obs, pobs, key, dropout_key=None,
-                      inference: bool = False):
+                      inference: bool = False, noise_rows=None):
         """(action, log_prob, mean_action) with optional live dropout.
         `inference=True` routes eligible no-grad forwards through the
         whole-trunk megakernel (ops/got_megakernel.py)."""
         kwargs: Dict[str, Any] = {"inference": inference}
         if dropout_key is not None:
-            kwargs.update(deterministic=False, rngs={"dropout": dropout_key})
+            kwargs.update(deterministic=False,
+                          rngs={"dropout": self._shard_key(dropout_key)})
         else:
             kwargs.update(deterministic=True)
+        noise = None
+        if self.row_noise:
+            noise = self._row_noise_draw(key, obs.shape[0],
+                                         int(self.cfg.sac.action_dim),
+                                         rows=noise_rows)
         if self.deterministic_actor:
             mean = self.actor.apply({"params": params}, obs, pobs, **kwargs)
-            return distributions.deterministic_sample(key, mean)
+            return distributions.deterministic_sample(key, mean, noise=noise)
         mean, log_std = self.actor.apply({"params": params}, obs, pobs, **kwargs)
-        return distributions.sample(key, mean, log_std)
+        return distributions.sample(key, mean, log_std, noise=noise)
 
     def _apply_critic(self, params, obs, pobs, act, dropout_key=None,
                       inference: bool = False):
         if dropout_key is not None:
             return self.critic.apply({"params": params}, obs, pobs, act,
                                      deterministic=False,
-                                     rngs={"dropout": dropout_key},
+                                     rngs={"dropout": self._shard_key(dropout_key)},
                                      inference=inference)
         return self.critic.apply({"params": params}, obs, pobs, act,
                                  deterministic=True, inference=inference)
@@ -241,13 +316,13 @@ class SACAgent:
     # ------------------------------------------------------------------
     # core SAC update (DRL.py learn)
     # ------------------------------------------------------------------
-    def _td_target(self, state, alpha, batch, key):
+    def _td_target(self, state, alpha, batch, key, noise_rows=None):
         k1, k2, k3 = jax.random.split(key, 3)
         # both TD-target forwards are no-grad (stop_gradient below): route
         # them through the blocks megakernel (embed+dropout stay in XLA)
         nxt = self._sample_actor(state.actor_params, batch["next_obs"],
                                  batch["next_pobs"], k1, dropout_key=k2,
-                                 inference=True)
+                                 inference=True, noise_rows=noise_rows)
         q1_t, q2_t = self._apply_critic(state.critic_target_params,
                                         batch["next_obs"], batch["next_pobs"],
                                         nxt.action, dropout_key=k3,
@@ -269,13 +344,14 @@ class SACAgent:
                 l2 = jnp.mean(jnp.square(q2 - target))
             else:
                 w = weights.reshape(-1, 1)
-                denom = jnp.sum(w) * q1.shape[1]
+                denom = self._denom(jnp.sum(w) * q1.shape[1])
                 l1 = jnp.sum(w * jnp.square(q1 - target)) / denom
                 l2 = jnp.sum(w * jnp.square(q2 - target)) / denom
             return l1 + l2, (l1, l2)
 
         (qf_loss, (qf1_loss, qf2_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.critic_params)
+        grads = self._sync_grads(grads)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                  state.critic_params)
         new_params = optax.apply_updates(state.critic_params, updates)
@@ -283,12 +359,12 @@ class SACAgent:
             qf1_loss, qf2_loss
 
     def _actor_update(self, state, alpha, batch, key, weights=None,
-                      extra_loss_fn=None):
+                      extra_loss_fn=None, noise_rows=None):
         k1, k2, k3 = jax.random.split(key, 3)
 
         def loss_fn(ap):
             s = self._sample_actor(ap, batch["obs"], batch["pobs"], k1,
-                                   dropout_key=k2)
+                                   dropout_key=k2, noise_rows=noise_rows)
             # the critic TRUNK latent is constant w.r.t. ap (the action joins
             # after the trunk, got_sac_network.py:114) — no gradient flows
             # into it, so the fused no-grad path applies
@@ -302,13 +378,15 @@ class SACAgent:
                 ploss = jnp.mean(per_elem)
             else:
                 w = weights.reshape(-1, 1)
-                ploss = jnp.sum(w * per_elem) / (jnp.sum(w) * per_elem.shape[1])
+                ploss = jnp.sum(w * per_elem) / self._denom(
+                    jnp.sum(w) * per_elem.shape[1])
             if extra_loss_fn is not None:
                 ploss = ploss + extra_loss_fn(ap)
             return ploss, s.log_prob
 
         (policy_loss, log_pi), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.actor_params)
+        grads = self._sync_grads(grads)
         updates, new_opt = self.actor_tx.update(grads, state.actor_opt,
                                                 state.actor_params)
         new_params = optax.apply_updates(state.actor_params, updates)
@@ -324,6 +402,7 @@ class SACAgent:
                 log_pi + self.target_entropy))
 
         alpha_loss, grad = jax.value_and_grad(loss_fn)(state.log_alpha)
+        grad = self._sync_grads(grad)
         updates, new_opt = self.alpha_tx.update(grad, state.alpha_opt,
                                                 state.log_alpha)
         new_log_alpha = optax.apply_updates(state.log_alpha, updates)
@@ -375,6 +454,7 @@ class SACAgent:
             "policy_loss": policy_loss, "alpha_loss": alpha_loss,
             "alpha": alpha, "entropy": -jnp.mean(log_pi),
         }
+        metrics = {k: self._sync_mean(v) for k, v in metrics.items()}
         if self.nan_guard:
             state, metrics = self._apply_nan_guard(prev, state, metrics)
         return state, metrics
@@ -406,6 +486,7 @@ class SACAgent:
 
         (qf_loss, (qf1_loss, qf2_loss, td)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.critic_params)
+        grads = self._sync_grads(grads)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                  state.critic_params)
         state = state.replace(
@@ -419,6 +500,7 @@ class SACAgent:
         metrics = {"qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
                    "policy_loss": policy_loss, "alpha_loss": alpha_loss,
                    "alpha": alpha}
+        metrics = {k: self._sync_mean(v) for k, v in metrics.items()}
         if self.nan_guard:
             state, metrics = self._apply_nan_guard(prev, state, metrics)
             # the TD errors feed the PER sum-tree: an inf priority would
@@ -463,42 +545,70 @@ class SACAgent:
 
         b = batch["obs"].shape[0]
         be = expert_batch["obs"].shape[0]
-        valid = (jnp.arange(be) < n_expert).astype(jnp.float32)
+        # "first n_expert GLOBAL rows are valid" — under a data-sharded step
+        # each shard holds rows [i*be, (i+1)*be) of the global expert batch
+        row0 = jnp.int32(0)
+        merged_rows = None
+        if self.grad_axis is not None:
+            i = jax.lax.axis_index(self.grad_axis)
+            nsh = jax.lax.psum(jnp.ones((), jnp.int32), self.grad_axis)
+            row0 = i * be
+            # the local merged concat is NOT a contiguous global slice: the
+            # global layout is [all agent rows (n*b)] ++ [all expert rows];
+            # row-noise draws need the true global indices so the sharded
+            # step reproduces the single-device stream
+            merged_rows = jnp.concatenate([
+                jnp.arange(b, dtype=jnp.int32) + i * b,
+                nsh * b + jnp.arange(be, dtype=jnp.int32) + i * be])
+        valid = ((jnp.arange(be) + row0) < n_expert).astype(jnp.float32)
         merged = {
             k: jnp.concatenate([batch[k], expert_batch[k]], axis=0)
             for k in ("obs", "pobs", "act", "rew", "next_obs", "next_pobs", "done")
         }
         weights = jnp.concatenate([agent_weights, valid])
 
-        target = self._td_target(state, alpha, merged, k_tgt)
+        target = self._td_target(state, alpha, merged, k_tgt,
+                                 noise_rows=merged_rows)
 
         def critic_loss_fn(cp):
             q1, q2 = self._apply_critic(cp, merged["obs"], merged["pobs"],
                                         merged["act"], dropout_key=k_crit)
             td = jnp.abs(q1 - target).mean(axis=1)[:b]
             w = weights.reshape(-1, 1)
-            denom = jnp.sum(w) * q1.shape[1]
+            denom = self._denom(jnp.sum(w) * q1.shape[1])
             l1 = jnp.sum(w * jnp.square(q1 - target)) / denom
             l2 = jnp.sum(w * jnp.square(q2 - target)) / denom
             return l1 + l2, (l1, l2, td)
 
         (_, (qf1_loss, qf2_loss, td)), grads = jax.value_and_grad(
             critic_loss_fn, has_aux=True)(state.critic_params)
+        grads = self._sync_grads(grads)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                  state.critic_params)
         state = state.replace(
             critic_params=optax.apply_updates(state.critic_params, updates),
             critic_opt=new_opt)
 
+        # guidance-weight curriculum: geometric decay w0 -> wf over
+        # gw_decay_steps learn steps, computed from the traced step counter
+        # (no retrace; constant when gw_final is unset)
+        gw = jnp.asarray(self.guidence_weight, jnp.float32)
+        if self.gw_final is not None and self.gw_decay_steps > 0 \
+                and self.gw_final != self.guidence_weight:
+            frac = jnp.clip(prev.itera.astype(jnp.float32)
+                            / float(self.gw_decay_steps), 0.0, 1.0)
+            gw = self.guidence_weight * jnp.power(
+                self.gw_final / self.guidence_weight, frac)
+
         # expert BC loss on deterministic mean action (DRL.py:257-265)
         def guidence_loss(ap):
             s = self._sample_actor(ap, expert_batch["obs"],
                                    expert_batch["pobs"], k_g, dropout_key=None)
             sq = jnp.square(s.mean - expert_batch["act"])
-            denom = jnp.maximum(jnp.sum(valid) * sq.shape[1], 1.0)
+            denom = self._denom(jnp.sum(valid) * sq.shape[1], guard=1.0)
             mse = jnp.sum(valid.reshape(-1, 1) * sq) / denom
             has_expert = (n_expert > 0).astype(jnp.float32)
-            return self.guidence_weight * mse * has_expert
+            return gw * mse * has_expert
 
         # real-time intervention loss on engage==1 rows (DRL.py:267-276)
         def engage_loss(ap):
@@ -506,21 +616,27 @@ class SACAgent:
             s = self._sample_actor(ap, batch["obs"], batch["pobs"], k_e,
                                    dropout_key=None)
             sq = jnp.square(s.mean - batch["act"])
-            denom = jnp.maximum(jnp.sum(eng) * sq.shape[1], 1.0)
+            denom = self._denom(jnp.sum(eng) * sq.shape[1], guard=1.0)
             mse = jnp.sum(eng.reshape(-1, 1) * sq) / denom
-            has_engage = (jnp.sum(eng) > 0).astype(jnp.float32)
+            total_eng = jnp.sum(eng)
+            if self.grad_axis is not None:
+                total_eng = jax.lax.psum(total_eng, self.grad_axis)
+            has_engage = (total_eng > 0).astype(jnp.float32)
             return self.engage_weight * mse * has_engage
 
         extra = lambda ap: guidence_loss(ap) + engage_loss(ap)
         state, policy_loss, log_pi = self._actor_update(
-            state, alpha, merged, k_act, weights=weights, extra_loss_fn=extra)
+            state, alpha, merged, k_act, weights=weights, extra_loss_fn=extra,
+            noise_rows=merged_rows)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {
             "qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
             "policy_loss": policy_loss, "alpha_loss": alpha_loss,
             "alpha": alpha, "n_expert": n_expert.astype(jnp.float32),
+            "guidence_weight": gw,
         }
+        metrics = {k: self._sync_mean(v) for k, v in metrics.items()}
         if self.nan_guard:
             state, metrics = self._apply_nan_guard(prev, state, metrics)
             # scale-aware neutral priorities for rolled-back steps (see

@@ -95,6 +95,14 @@ class SACConfig:
     buffer_size: int = 30000
     guidence_weight: float = 1.0   # expert BC loss weight (DRL.py:51)
     engage_weight: float = 1.0     # intervention loss weight (DRL.py:52)
+    # Guidance-weight curriculum: geometric decay from guidence_weight to
+    # guidence_weight_final over guidence_decay_steps learn steps (computed
+    # from state.itera inside the jitted step — no retrace). None/0 = constant.
+    # Round-2 result: gw dials in-domain gain vs unseen-world transfer
+    # (BENCH.md); decaying anchors the policy to the expert early and lets RL
+    # specialize late.
+    guidence_weight_final: Optional[float] = None
+    guidence_decay_steps: int = 0
     # Reference quirk switches — `replicate` mirrors DRL.py exactly.
     # DRL.py:394 omits the (1-done) mask in the TD target; set True to fix.
     done_mask_in_target: bool = False

@@ -49,10 +49,18 @@ def sample(
     log_std: jax.Array,
     action_scale: float = 1.0,
     action_bias: float = 0.0,
+    noise: jax.Array | None = None,
 ) -> TanhGaussianSample:
-    """Reparameterized sample (rsample) + log-prob + deterministic mean action."""
+    """Reparameterized sample (rsample) + log-prob + deterministic mean action.
+
+    `noise` overrides the standard-normal draw — used by the data-sharded
+    (shard_map) train step, which draws row-indexed noise so each shard
+    reproduces exactly its slice of the single-device stream."""
     std = jnp.exp(log_std)
-    noise = jax.random.normal(key, mean.shape, mean.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+    else:
+        noise = noise.astype(mean.dtype)
     x_t = mean + std * noise
     y_t = jnp.tanh(x_t)
     action = y_t * action_scale + action_bias
@@ -68,9 +76,13 @@ def deterministic_sample(
     mean: jax.Array,
     noise_std: float = 0.1,
     noise_clip: float = 0.25,
+    noise: jax.Array | None = None,
 ) -> TanhGaussianSample:
     """Deterministic policy exploration: mean + clamp(N(0, 0.1), +-0.25)
-    (got_sac_network.py:376-381,438-443). log_prob is 0 as in the reference."""
-    noise = jnp.clip(jax.random.normal(key, mean.shape, mean.dtype) * noise_std,
+    (got_sac_network.py:376-381,438-443). log_prob is 0 as in the reference.
+    `noise` (raw standard-normal) overrides the draw — see sample()."""
+    if noise is None:
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+    noise = jnp.clip(noise.astype(mean.dtype) * noise_std,
                      -noise_clip, noise_clip)
     return TanhGaussianSample(mean + noise, jnp.zeros(mean.shape[:1] + (1,), mean.dtype), mean)

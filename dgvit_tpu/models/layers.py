@@ -214,12 +214,19 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True,
                  collect_params: bool = False):
+        import os
+
         import jax
 
+        # DGVIT_FUSED_INTERPRET=1 forces the fused kernels in Pallas
+        # interpret mode off-TPU — how CPU-mesh tests drive the REAL fused
+        # train path under shard_map (tests/test_shardmap.py)
+        interp = (jax.default_backend() != "tpu"
+                  and os.environ.get("DGVIT_FUSED_INTERPRET") == "1")
         use_fused = (
             not collect_params
             and self.attn_impl in ("auto", "fused")
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interp)
             and not self.capture
             and not self.seq_shard
             and self.dropout == 0.0
@@ -268,9 +275,9 @@ class TransformerBlock(nn.Module):
             if self.cls_only:
                 from dgvit_tpu.ops.cls_block import cls_final_block
                 return cls_final_block(x.astype(cdt), flat, self.heads,
-                                       self.dim_head)
+                                       self.dim_head, interpret=interp)
             return fused_transformer_block(x.astype(cdt), flat, self.heads,
-                                           self.dim_head)
+                                           self.dim_head, interp)
 
         h = LayerNorm(self.dim, name="attn_norm")(x)
         h = Attention(

@@ -91,7 +91,17 @@ def _fold_matrices():
     return f32(a1), f32(b1), f32(a2), f32(b2)
 
 
-_A1, _B1, _A2, _B2 = _fold_matrices()
+_A1, _B1, _A2_FULL, _B2 = _fold_matrices()
+
+# The band-blur correction A2 only has nonzero rows where the 4x downscale
+# samples (4i+1, 4i+2) land inside [Y1, Y2): output rows 51..76. Restrict the
+# second matmul pair to an 8-aligned 32-row band (48..80) — 4x fewer flops on
+# that pair, identical result.
+_BAND_ROW0 = 48
+_BAND_ROWS = 32
+assert np.abs(_A2_FULL[:_BAND_ROW0]).max() == 0.0
+assert np.abs(_A2_FULL[_BAND_ROW0 + _BAND_ROWS:]).max() == 0.0
+_A2 = np.ascontiguousarray(_A2_FULL[_BAND_ROW0:_BAND_ROW0 + _BAND_ROWS])
 
 
 def _kernel(seed_ref, raw_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
@@ -105,28 +115,38 @@ def _kernel(seed_ref, raw_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
                  0.0, 255.0)
 
     # 2. Gaussian noise: Irwin-Hall(12) over the per-core PRNG — sum of 12
-    #    uniforms minus 6 is N(0,1) to high accuracy (exact mean/variance,
-    #    support clipped at +-6 sigma) with ZERO transcendentals; Box-Muller's
-    #    log+sqrt+cos chain was ~25% of kernel time (BENCH.md)
+    #    uniforms minus mean is N(0,1) to high accuracy (exact mean/variance,
+    #    support clipped at +-6 sigma) with ZERO transcendentals. The 12
+    #    uniforms are 4 independent BYTES from each of THREE 32-bit draws
+    #    (sum of 12 discrete U{0..255}: mean 1530, std 255.998) — 3 PRNG
+    #    passes instead of 12; the 1/256-sigma granularity disappears under
+    #    the 5x5/11x11 blur taps downstream.
     if noise_level > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        acc = jnp.zeros((H_IN, W_IN), jnp.float32)
-        for _ in range(12):
-            # Mosaic can't cast uint32->f32; mask to 31 bits, go via int32
+        acc = jnp.zeros((H_IN, W_IN), jnp.int32)
+        for _ in range(3):
             bits = pltpu.bitcast(pltpu.prng_random_bits((H_IN, W_IN)),
                                  jnp.int32)
-            bits = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
-            acc = acc + bits.astype(jnp.float32)
-        z = acc * (1.0 / 2147483648.0) - 6.0
+            # arithmetic shift on negatives fills ones; & 255 strips them
+            acc = acc + jnp.bitwise_and(bits, 255) \
+                + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 8), 255) \
+                + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 16), 255) \
+                + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 24), 255)
+        z = (acc.astype(jnp.float32) - 1530.0) * (1.0 / 255.9980469)
         x = jnp.clip(x + noise_level * z, 0.0, 255.0)
 
     # 3.-5. blur5 -> band blur11 -> 4x downscale: the whole linear tail as
     #    two constant matmul pairs on the MXU (see _fold_matrices), fused
-    #    with /255 (env_lab.py:295-299)
+    #    with /255 (env_lab.py:295-299). Pair 2 covers only the 32 band rows.
     y = jnp.dot(jnp.dot(a1_ref[:], x, preferred_element_type=jnp.float32),
                 b1_ref[:], preferred_element_type=jnp.float32)
-    y = y + jnp.dot(jnp.dot(a2_ref[:], x, preferred_element_type=jnp.float32),
-                    b2_ref[:], preferred_element_type=jnp.float32)
+    y2 = jnp.dot(jnp.dot(a2_ref[:], x, preferred_element_type=jnp.float32),
+                 b2_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.concatenate([
+        jax.lax.slice(y, (0, 0), (_BAND_ROW0, W_OUT)),
+        jax.lax.slice(y, (_BAND_ROW0, 0), (_BAND_ROW0 + _BAND_ROWS, W_OUT)) + y2,
+        jax.lax.slice(y, (_BAND_ROW0 + _BAND_ROWS, 0), (H_OUT, W_OUT)),
+    ], axis=0)
     out_ref[0] = (y * (1.0 / 255.0)).astype(out_ref.dtype)
 
 
@@ -166,7 +186,7 @@ def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W_IN, W_OUT), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H_OUT, H_IN), lambda i, s: (0, 0),
+            pl.BlockSpec((_BAND_ROWS, H_IN), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W_IN, W_OUT), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -179,9 +199,11 @@ def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, H_OUT, W_OUT), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            # two A@x@B matmul pairs dominate; Irwin-Hall noise has NO
-            # transcendentals (12 PRNG draws + adds ride bytes/flops noise)
-            flops=b * 2 * 2 * (H_OUT * H_IN * W_IN + H_OUT * W_IN * W_OUT),
+            # two A@x@B matmul pairs dominate (pair 2 band-restricted);
+            # Irwin-Hall noise has NO transcendentals (3 PRNG draws + byte
+            # unpack ride bytes/flops noise)
+            flops=b * 2 * ((H_OUT + _BAND_ROWS) * H_IN * W_IN
+                           + (H_OUT + _BAND_ROWS) * W_IN * W_OUT),
             bytes_accessed=b * (H_IN * W_IN + H_OUT * W_OUT) * 4,
             transcendentals=0,
         ),

@@ -1,1 +1,2 @@
-from dgvit_tpu.parallel.shard import shard_sac_state, shard_batch, sharded_learn
+from dgvit_tpu.parallel.shard import (shard_sac_state, shard_batch,
+                                      sharded_learn, shardmap_learn)

@@ -69,3 +69,60 @@ def sharded_learn(agent: SACAgent, runtime: MeshRuntime):
             return step(state, batch)
 
     return learn
+
+
+def shardmap_learn(agent: SACAgent, runtime: MeshRuntime,
+                   flavor: str = "plain", raw: bool = False):
+    """DP over `data` via shard_map — the composition that lets the FUSED
+    Pallas train path run under a mesh.
+
+    GSPMD (sharded_learn) cannot partition `pl.pallas_call`: it would
+    replicate kernel operands and destroy the DP win. shard_map instead
+    hands each device its local batch shard and runs the per-device program
+    unchanged — kernels included. The agent must be constructed with
+    `grad_axis="data"`: its updates pmean gradients/metrics and psum
+    sum-form loss denominators over the axis, so the sharded step computes
+    EXACTLY the single-device update (see test_shardmap.py equality gates).
+
+    Params/optimizer state are replicated (the GoT geometry is far below
+    TP-profitable sizes on the fused path); batch leaves are sharded on dim
+    0. `model`/`seq` mesh axes, if present, run redundant replicas — use a
+    data-only mesh for this path.
+
+    flavor: 'plain' (learn), 'per' (learn_per, td out sharded over data),
+    'guided' (learn_guidence). `raw=True` returns the un-jitted shard-mapped
+    callable (composable inside a caller's jit/scan, e.g. bench loops)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dgvit_tpu.core.mesh import AXIS_DATA, use_mesh
+
+    assert agent.grad_axis == AXIS_DATA, (
+        "build the agent with SACAgent(cfg, grad_axis='data') so gradients "
+        "sync over the mapped axis")
+    mesh = runtime.mesh
+    repl, dataP = P(), P(AXIS_DATA)
+
+    if flavor == "plain":
+        fn, in_specs, out_specs = (agent._train_step_impl,
+                                   (repl, dataP), (repl, repl))
+    elif flavor == "per":
+        fn, in_specs, out_specs = (agent._per_step_impl,
+                                   (repl, dataP, dataP), (repl, repl, dataP))
+    elif flavor == "guided":
+        fn, in_specs, out_specs = (agent._guided_step_impl,
+                                   (repl, dataP, dataP, repl), (repl, repl))
+    else:
+        raise ValueError(flavor)
+
+    sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+    if raw:
+        return sharded
+    step = jax.jit(sharded, donate_argnums=(0,))
+
+    def learn(state: SACTrainState, batch, *args):
+        with use_mesh(runtime.mesh):
+            return step(state, batch, *args)
+
+    return learn

@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--guidence-weight", type=float, default=1.0,
                    help="expert BC anchor weight (DRL.py:51); the reward "
                         "scale is +-200 so Q-magnitudes dwarf the default")
+    p.add_argument("--gw-final", type=float, default=None,
+                   help="decay guidence_weight geometrically to this value "
+                        "(anchor-early / specialize-late curriculum)")
+    p.add_argument("--gw-decay-steps", type=int, default=0,
+                   help="learn steps over which the gw decay completes")
     p.add_argument("--expert-buffer", action="store_true",
                    help="reference PRE_BUFFER workflow: feed the recorded "
                         "demos to learn_guidence as the expert buffer")
@@ -113,6 +118,8 @@ def main(argv=None):
         cfg.train.pre_train_model = str(out / "il" / "bc_warm")
         cfg.sac.alpha = args.alpha_init
         cfg.sac.guidence_weight = args.guidence_weight
+        cfg.sac.guidence_weight_final = args.gw_final
+        cfg.sac.guidence_decay_steps = args.gw_decay_steps
         cfg.sac.nan_guard = True   # amplified guidance losses can overflow a
                                    # bf16 update; roll back instead of dying
         expert_glob = None
@@ -125,7 +132,10 @@ def main(argv=None):
         print(f"SAC: {res['successes']} goals in {res['episodes']} episodes, "
               f"max mean reward {res['max_mean_reward']:.1f}", flush=True)
         actor_params = res["state"].actor_params
-        hist_note = (f"alpha0={args.alpha_init} expert={args.expert_buffer} gw={args.guidence_weight}")
+        hist_note = (f"alpha0={args.alpha_init} expert={args.expert_buffer} "
+                     f"gw={args.guidence_weight}"
+                     + (f"->{args.gw_final}@{args.gw_decay_steps}"
+                        if args.gw_final is not None else ""))
 
     # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
     results = {}

@@ -20,6 +20,18 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
+# Persistent compilation cache: the tier is compile-bound (VERDICT r2 Weak
+# #7); repeated runs re-lower identical jaxprs. Cache compiled executables
+# under .jax_cache so the second-and-later full runs skip XLA compilation.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without these flags
+    pass
+
 import sys
 from pathlib import Path
 

@@ -161,6 +161,28 @@ def test_train_rl_guided_per_updates_priorities(tmp_path, monkeypatch):
         assert np.isfinite(prio).all() and (prio > 0).all()
 
 
+def test_guidence_weight_decay_curriculum():
+    """Geometric gw decay (anchor-early / specialize-late), computed from the
+    traced step counter — no retrace across steps."""
+    from dgvit_tpu.agents import SACAgent
+
+    cfg = tiny_cfg(sac={"batch_size": 4, "guidence_weight": 10.0,
+                        "guidence_weight_final": 1.0,
+                        "guidence_decay_steps": 4})
+    agent = SACAgent(cfg)
+    rng = np.random.default_rng(0)
+    batch = _batchez(rng, 4)
+    expert = {k: v for k, v in _batchez(rng, 4).items() if k != "engage"}
+    state = agent.init_state(0)
+    seen = []
+    for _ in range(6):
+        state, m = agent.learn_guidence(state, batch, expert, 4)
+        seen.append(float(m["guidence_weight"]))
+    # itera at loss time: 0,1,2,3,4,5 -> frac 0,.25,.5,.75,1,1
+    expect = [10.0 * (0.1 ** min(t / 4.0, 1.0)) for t in range(6)]
+    np.testing.assert_allclose(seen, expect, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # evaluation driver fixes
 # ---------------------------------------------------------------------------

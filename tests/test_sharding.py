@@ -60,6 +60,39 @@ def test_tp_param_sharding_targets_mlp():
     assert sh["fc1"]["kernel"].spec == jax.sharding.PartitionSpec()
 
 
+def test_tp_param_sharding_flagship_got_tree():
+    """Pin param_sharding's output on the FLAGSHIP GoT actor+critic trees
+    (dim 64, mlp 2048, got_sac_network.py:176-185) so a param-path rename
+    can't silently de-shard TP (core/mesh.py:126-137 matches by name)."""
+    from dgvit_tpu.config import Config
+
+    P = jax.sharding.PartitionSpec
+    runtime = MeshRuntime.create(data=4, model=2)
+    agent = SACAgent(Config())  # flagship geometry
+    state = agent.init_state(0)
+
+    for params, trunk in ((state.actor_params, "trans"),
+                          (state.critic_params, "trans")):
+        for blk in range(4):
+            b = runtime.param_sharding(params)[trunk]["transformer"][f"block_{blk}"]
+            # Megatron column/row pair over the 64->2048->64 MLP
+            assert b["ff"]["fc1"]["kernel"].spec == P(None, AXIS_MODEL), blk
+            assert b["ff"]["fc2"]["kernel"].spec == P(AXIS_MODEL, None), blk
+            # attention: qkv column-parallel (64 -> 3*256), out row-parallel
+            assert b["attn"]["to_qkv"]["kernel"].spec == P(None, AXIS_MODEL)
+            assert b["attn"]["to_out"]["kernel"].spec == P(AXIS_MODEL, None)
+    sh_a = runtime.param_sharding(state.actor_params)
+    # heads/embeds replicated: fc1/fc2 (64/128-dim MLP heads), fc_embed,
+    # patch_embed (320->64), mean/log_std
+    for name in ("fc1", "fc2", "fc_embed", "mean_linear", "log_std_linear"):
+        assert sh_a[name]["kernel"].spec == P(), name
+    assert sh_a[trunk := "trans"]["patch_embed"]["kernel"].spec == P()
+    # twin critic heads replicated
+    sh_c = runtime.param_sharding(state.critic_params)
+    for name in ("fc1", "fc11", "fc3", "fc31"):
+        assert sh_c[name]["kernel"].spec == P(), name
+
+
 def test_sharded_step_matches_single_device():
     cfg = tiny_cfg()
     batch = make_batch(jax.random.PRNGKey(0))
