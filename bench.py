@@ -49,10 +49,14 @@ def _bench_extra():
 
     @jax.jit
     def pp_loop(raw):
+        # serialize iterations through the SEED (int32 scalar derived from
+        # the previous output) — the earlier `raw + carry` form added a full
+        # read+write of the 335 MB raw batch per iteration, and that HBM
+        # traffic dominated the measurement
         def body(carry, i):
-            out = preprocess_depth_pallas(raw + carry, i)
-            return out.sum() * 0.0, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_in))
+            out = preprocess_depth_pallas(raw, i + carry)
+            return (out[0, 0, 0] * 0.0).astype(jnp.int32), ()
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_in))
         return c
 
     float(pp_loop(raw))

@@ -93,6 +93,7 @@ def _fold_matrices():
 
 _A1, _B1, _A2_FULL, _B2 = _fold_matrices()
 
+
 # The band-blur correction A2 only has nonzero rows where the 4x downscale
 # samples (4i+1, 4i+2) land inside [Y1, Y2): output rows 51..76. Restrict the
 # second matmul pair to an 8-aligned 32-row band (48..80) — 4x fewer flops on
@@ -105,49 +106,56 @@ _A2 = np.ascontiguousarray(_A2_FULL[_BAND_ROW0:_BAND_ROW0 + _BAND_ROWS])
 
 
 def _kernel(seed_ref, raw_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
-            noise_level: float):
-    x = raw_ref[0].astype(jnp.float32)                      # (512, 640)
+            noise_level: float, fb: int):
+    for f in range(fb):
+        x = raw_ref[f].astype(jnp.float32)                  # (512, 640)
 
-    # 1. minmax normalize + the reference's u8-cast truncation
-    lo = jnp.min(x)
-    hi = jnp.max(x)
-    x = jnp.clip(jnp.floor((x - lo) * (255.0 / jnp.maximum(hi - lo, 1e-20))),
-                 0.0, 255.0)
+        # 1. minmax normalize + the reference's u8-cast truncation
+        lo = jnp.min(x)
+        hi = jnp.max(x)
+        x = jnp.clip(jnp.floor((x - lo) * (255.0 / jnp.maximum(hi - lo, 1e-20))),
+                     0.0, 255.0)
 
-    # 2. Gaussian noise: Irwin-Hall(12) over the per-core PRNG — sum of 12
-    #    uniforms minus mean is N(0,1) to high accuracy (exact mean/variance,
-    #    support clipped at +-6 sigma) with ZERO transcendentals. The 12
-    #    uniforms are 4 independent BYTES from each of THREE 32-bit draws
-    #    (sum of 12 discrete U{0..255}: mean 1530, std 255.998) — 3 PRNG
-    #    passes instead of 12; the 1/256-sigma granularity disappears under
-    #    the 5x5/11x11 blur taps downstream.
-    if noise_level > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        acc = jnp.zeros((H_IN, W_IN), jnp.int32)
-        for _ in range(3):
-            bits = pltpu.bitcast(pltpu.prng_random_bits((H_IN, W_IN)),
-                                 jnp.int32)
-            # arithmetic shift on negatives fills ones; & 255 strips them
-            acc = acc + jnp.bitwise_and(bits, 255) \
-                + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 8), 255) \
-                + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 16), 255) \
-                + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 24), 255)
-        z = (acc.astype(jnp.float32) - 1530.0) * (1.0 / 255.9980469)
-        x = jnp.clip(x + noise_level * z, 0.0, 255.0)
+        # 2. Gaussian noise: Irwin-Hall(12) over the per-core PRNG — sum of
+        #    12 uniforms minus mean is N(0,1) to high accuracy (exact
+        #    mean/variance, support +-6 sigma) with ZERO transcendentals.
+        #    The 12 uniforms are 4 independent BYTES from each of THREE
+        #    32-bit draws (sum of 12 discrete U{0..255}: mean 1530, std
+        #    255.998) — 3 PRNG passes instead of 12; the 1/256-sigma
+        #    granularity disappears under the 5x5/11x11 blur taps downstream.
+        if noise_level > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * fb + f)
+            acc = jnp.zeros((H_IN, W_IN), jnp.int32)
+            for _ in range(3):
+                bits = pltpu.bitcast(pltpu.prng_random_bits((H_IN, W_IN)),
+                                     jnp.int32)
+                # arithmetic shift on negatives fills ones; & 255 strips them
+                acc = acc + jnp.bitwise_and(bits, 255) \
+                    + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 8), 255) \
+                    + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 16), 255) \
+                    + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 24), 255)
+            z = (acc.astype(jnp.float32) - 1530.0) * (1.0 / 255.9980469)
+            x = jnp.clip(x + noise_level * z, 0.0, 255.0)
 
-    # 3.-5. blur5 -> band blur11 -> 4x downscale: the whole linear tail as
-    #    two constant matmul pairs on the MXU (see _fold_matrices), fused
-    #    with /255 (env_lab.py:295-299). Pair 2 covers only the 32 band rows.
-    y = jnp.dot(jnp.dot(a1_ref[:], x, preferred_element_type=jnp.float32),
-                b1_ref[:], preferred_element_type=jnp.float32)
-    y2 = jnp.dot(jnp.dot(a2_ref[:], x, preferred_element_type=jnp.float32),
-                 b2_ref[:], preferred_element_type=jnp.float32)
-    y = jnp.concatenate([
-        jax.lax.slice(y, (0, 0), (_BAND_ROW0, W_OUT)),
-        jax.lax.slice(y, (_BAND_ROW0, 0), (_BAND_ROW0 + _BAND_ROWS, W_OUT)) + y2,
-        jax.lax.slice(y, (_BAND_ROW0 + _BAND_ROWS, 0), (H_OUT, W_OUT)),
-    ], axis=0)
-    out_ref[0] = (y * (1.0 / 255.0)).astype(out_ref.dtype)
+        # 3.-5. blur5 -> band blur11 -> 4x downscale: the whole linear tail
+        #    as two constant matmul pairs on the MXU (see _fold_matrices),
+        #    fused with /255 (env_lab.py:295-299). Pair 2 covers only the 32
+        #    band rows. Measured NEGATIVE result (do not repeat): splitting
+        #    the fp32 matmuls into compensated bf16 triples (xh@wh + xl@wh +
+        #    xh@wl) is ~10% SLOWER end-to-end on v5e — the extra elementwise
+        #    split passes cost more than the fp32-emulation passes they save
+        #    (59.3k -> 53.0k frames/s under the seed-serialized harness).
+        y = jnp.dot(jnp.dot(a1_ref[:], x, preferred_element_type=jnp.float32),
+                    b1_ref[:], preferred_element_type=jnp.float32)
+        y2 = jnp.dot(jnp.dot(a2_ref[:], x, preferred_element_type=jnp.float32),
+                     b2_ref[:], preferred_element_type=jnp.float32)
+        y = jnp.concatenate([
+            jax.lax.slice(y, (0, 0), (_BAND_ROW0, W_OUT)),
+            jax.lax.slice(y, (_BAND_ROW0, 0),
+                          (_BAND_ROW0 + _BAND_ROWS, W_OUT)) + y2,
+            jax.lax.slice(y, (_BAND_ROW0 + _BAND_ROWS, 0), (H_OUT, W_OUT)),
+        ], axis=0)
+        out_ref[f] = (y * (1.0 / 255.0)).astype(out_ref.dtype)
 
 
 def supported_shape(shape) -> bool:
@@ -167,6 +175,21 @@ def preprocess_depth_auto(raw, seed: int, noise_level: float = 50.0):
                             noise_level=noise_level)
 
 
+def _frame_tile(b: int) -> int:
+    """Frames per kernel program. fb=2 halves per-program overhead (PRNG
+    seeds, grid bookkeeping) and fits VMEM after the 3-draw noise scheme cut
+    the live temps; override with DGVIT_PP_FB for experiments. Measured on
+    v5e (seed-serialized harness, batch 256): fb=1 58.9k, fb=2 52.9k (Mosaic
+    pipelining quirk — slower than fb=1), fb=4 62.5k frames/s, fb=8 VMEM
+    OOM."""
+    import os
+
+    fb = int(os.environ.get("DGVIT_PP_FB", "4"))
+    while b % fb != 0:
+        fb //= 2
+    return max(fb, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("noise_level", "interpret"))
 def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
                             noise_level: float = 50.0,
@@ -175,23 +198,22 @@ def preprocess_depth_pallas(raw: jnp.ndarray, seed: jnp.ndarray,
     `seed` is an int32 scalar; frame i uses seed + i."""
     b = raw.shape[0]
     assert supported_shape(raw.shape), "pallas path is specialized to 512x640"
-    kern = functools.partial(_kernel, noise_level=noise_level)
+    fb = _frame_tile(b)
+    kern = functools.partial(_kernel, noise_level=noise_level, fb=fb)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
+                                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // fb,),
         in_specs=[
-            pl.BlockSpec((1, H_IN, W_IN), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((fb, H_IN, W_IN), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H_OUT, H_IN), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W_IN, W_OUT), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BAND_ROWS, H_IN), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W_IN, W_OUT), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            const((H_OUT, H_IN)),
+            const((W_IN, W_OUT)),
+            const((_BAND_ROWS, H_IN)),
+            const((W_IN, W_OUT)),
         ],
-        out_specs=pl.BlockSpec((1, H_OUT, W_OUT), lambda i, s: (i, 0, 0),
+        out_specs=pl.BlockSpec((fb, H_OUT, W_OUT), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
