@@ -23,6 +23,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from dgvit_tpu.utils.compcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 BASELINE_FRAMES_PER_SEC = 10_000.0  # BASELINE.md north-star target
 BATCH = 2048
 N_INNER = 32

@@ -86,23 +86,29 @@ class GoT(nn.Module):
 
         # actual patch count from the INPUT — the composed path supports
         # images smaller than the configured image_size (pos[:, :n+1]); the
-        # kernels assume the full grid, so they require an exact match
+        # whole-trunk megakernel assumes the full grid, so it requires an
+        # exact match (the blocks kernel pads any token count)
         in_h, in_w = (img.shape[-2], img.shape[-1])
         in_patches = (in_h // ph) * (in_w // pw)
-        mega_ok = (
-            inference
-            and not self.is_initializing()
+        # blocks_ok: the fused blocks->CLS->final-norm path (embed + emb-
+        # dropout stay in XLA). Taken by EVERY eligible pass — including
+        # gradient-bearing ones, whose backward is the single whole-trunk
+        # recompute kernel (ops/trunk_train.py): 1 fwd + 1 bwd launch per
+        # trunk instead of 4 + 4 per-block launches.
+        blocks_ok = (
+            not self.is_initializing()
             and (jax.default_backend() == "tpu"
-                 or os.environ.get("DGVIT_MEGA_INTERPRET") == "1")
+                 or os.environ.get("DGVIT_MEGA_INTERPRET") == "1"
+                 or os.environ.get("DGVIT_FUSED_INTERPRET") == "1")
             and self.attn_impl in ("auto", "fused")
             and not self.capture
             and not self.seq_shard
             and self.dropout == 0.0   # block-level dropout needs the PRNG
             and self.pool == "cls"
             and not (self.heads == 1 and self.dim_head == self.dim)
-            and in_patches == num_patches
-            and num_patches + 1 <= 256
+            and in_patches + 1 <= 256
         )
+        mega_ok = blocks_ok and inference and in_patches == num_patches
         use_mega = mega_ok and deterministic
 
         def _mega_block_params(cdt):
@@ -172,10 +178,12 @@ class GoT(nn.Module):
         x = x + pos[:, : n + 1].astype(x.dtype)
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
 
-        if mega_ok:
-            # live-dropout inference (reference keeps train-mode dropout in
-            # every learn pass): embed + dropout ran above in XLA (they need
-            # the PRNG); blocks -> CLS pool -> final norm run fused
+        if blocks_ok:
+            # embed + emb-dropout ran above in XLA (they need the PRNG);
+            # blocks -> CLS pool -> final norm run fused. Taken by live-
+            # dropout inference (reference keeps train-mode dropout in every
+            # learn pass) AND by gradient-bearing passes, whose backward is
+            # the single whole-trunk recompute kernel (ops/trunk_train.py)
             from dgvit_tpu.ops.got_megakernel import blocks_cls_forward_fused
 
             cdt = self.dtype or img.dtype

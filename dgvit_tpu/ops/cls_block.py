@@ -45,32 +45,23 @@ def _cls_fwd_kernel(x_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref,
     o_ref[...] = cls.astype(o_ref.dtype)
 
 
-def _cls_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
-                    bout_ref, fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref,
-                    b2_ref,
-                    dx_ref, dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref,
-                    dbout_ref, dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref,
-                    dw2_ref, db2_ref,
-                    *, n_valid: int, heads: int, dim_head: int, tb: int,
-                    scale: float):
-    """Backward of the CLS-only block: dy is (tb, d) — the gradient of the
-    pooled CLS outputs. Recomputes the forward in VMEM, then reverse-mode by
-    hand on the row-sparse structure. Weight grads accumulate across the
-    sequential grid."""
-    np_ = x_ref.shape[1]
-    d = x_ref.shape[2]
+def _cls_bwd_body(x32, dy32, w, g, *, n_valid: int, heads: int,
+                  dim_head: int, tb: int, np_: int, scale: float, cdt,
+                  chunk_default: int = 512):
+    """Value-level backward of the CLS-only block: x32 is the fp32
+    (tb*np_, d) input stream, dy32 the fp32 (tb, d) gradient of the pooled
+    CLS outputs. Recomputes the forward in VMEM, then reverse-mode by hand
+    on the row-sparse structure. `w`/`g` are the 11-tuples of weight refs /
+    fp32 grad accumulator refs (callers zero `g` at grid step 0). Returns
+    dx32 (fp32, (tb*np_, d)). Shared by the per-block kernel here and the
+    whole-trunk train kernel (ops/trunk_train.py)."""
+    (an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref, fn_s_ref, fn_b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref) = w
+    (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref, dfn_s_ref,
+     dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = g
+    d = x32.shape[1]
     inner = heads * dim_head
-    cdt = x_ref.dtype
     rows = tb * np_
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for ref in (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
-                    dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
-            ref[...] = jnp.zeros(ref.shape, ref.dtype)
-
-    x32 = x_ref[...].reshape(rows, d).astype(jnp.float32)
-    dy32 = dy_ref[...].astype(jnp.float32)                   # (tb, d)
     dy_c = dy32.astype(cdt)
 
     # ---- recompute forward ---------------------------------------------------
@@ -130,7 +121,7 @@ def _cls_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
                                         fn_b_ref[...].astype(jnp.float32))
     h2 = h2_32.astype(cdt)
     mlp_dim = w1_ref.shape[1]
-    chunk = _mlp_chunk(mlp_dim, 512)
+    chunk = _mlp_chunk(mlp_dim, chunk_default)
     dh2_32 = jnp.zeros((tb, d), jnp.float32)
     for c0 in range(0, mlp_dim, chunk):
         w1c = w1_ref[:, c0:c0 + chunk]
@@ -251,7 +242,39 @@ def _cls_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
             + jax.lax.slice(g1, (f, 0), (f + 1, d))
         res_frames.append(jnp.concatenate(
             [row0, jax.lax.slice(base, (1, 0), (np_, d))], axis=0))
-    dx = jnp.concatenate(res_frames, axis=0)
+    return jnp.concatenate(res_frames, axis=0)
+
+
+def _cls_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
+                    bout_ref, fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref,
+                    b2_ref,
+                    dx_ref, dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref,
+                    dbout_ref, dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref,
+                    *, n_valid: int, heads: int, dim_head: int, tb: int,
+                    scale: float):
+    """Backward of the CLS-only block (see `_cls_bwd_body`). Weight grads
+    accumulate across the sequential grid."""
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    cdt = x_ref.dtype
+    rows = tb * np_
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+                    dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    x32 = x_ref[...].reshape(rows, d).astype(jnp.float32)
+    dy32 = dy_ref[...].astype(jnp.float32)                   # (tb, d)
+    w = (an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref, fn_s_ref,
+         fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    g = (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref, dfn_s_ref,
+         dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref)
+    dx = _cls_bwd_body(x32, dy32, w, g, n_valid=n_valid, heads=heads,
+                       dim_head=dim_head, tb=tb, np_=np_, scale=scale,
+                       cdt=cdt)
     dx_ref[...] = dx.reshape(tb, np_, d).astype(dx_ref.dtype)
 
 

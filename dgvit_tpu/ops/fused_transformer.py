@@ -321,31 +321,23 @@ def _ln_bwd(dh32, xhat, rstd, scale):
     return dx, dscale, dbias
 
 
-def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
-                      bout_ref, fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref,
-                      b2_ref,
-                      dx_ref, dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref,
-                      dbout_ref, dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref,
-                      dw2_ref, db2_ref,
-                      *, n_valid: int, heads: int, dim_head: int, tb: int,
-                      scale: float):
-    """Full block backward for one frame tile: recompute fwd in VMEM, then
-    reverse-mode by hand. Weight grads accumulate across the (sequential)
-    grid into constant-index output blocks."""
-    np_ = x_ref.shape[1]
-    d = x_ref.shape[2]
+def _block_bwd_body(x32, dy32, w, g, *, n_valid: int, heads: int,
+                    dim_head: int, tb: int, np_: int, scale: float, cdt,
+                    chunk_default: int = 512):
+    """Value-level full-block backward: recompute the forward from x32 (fp32,
+    (tb*np_, d)) in VMEM, then reverse-mode by hand. `w` is the 11-tuple of
+    weight refs (kernel argument order, see `_block_params_flat`); `g` the
+    matching 11-tuple of fp32 grad ACCUMULATOR refs (+= into them — callers
+    zero them at grid step 0). Returns dx32 (fp32). Shared by the per-block
+    backward kernel here and the whole-trunk train kernel
+    (ops/trunk_train.py)."""
+    (an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref, fn_s_ref, fn_b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref) = w
+    (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref, dfn_s_ref,
+     dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = g
+    d = x32.shape[1]
     inner = heads * dim_head
-    cdt = x_ref.dtype
     rows = tb * np_
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for ref in (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
-                    dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
-            ref[...] = jnp.zeros(ref.shape, ref.dtype)
-
-    x32 = x_ref[...].reshape(rows, d).astype(jnp.float32)
-    dy32 = dy_ref[...].reshape(rows, d).astype(jnp.float32)
     dy_c = dy32.astype(cdt)
 
     # ---- recompute forward: LN1 -> qkv -> attention -> x1 ------------------
@@ -398,7 +390,7 @@ def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
                                         fn_b_ref[...].astype(jnp.float32))
     h2 = h2_32.astype(cdt)
     mlp_dim = w1_ref.shape[1]
-    chunk = _mlp_chunk(mlp_dim, 512)
+    chunk = _mlp_chunk(mlp_dim, chunk_default)
     dh2_32 = jnp.zeros((rows, d), jnp.float32)
     for c0 in range(0, mlp_dim, chunk):
         w1c = w1_ref[:, c0:c0 + chunk]
@@ -488,7 +480,40 @@ def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
     dan_s_ref[...] += das
     dan_b_ref[...] += dab
 
-    dx = g1 + dln1_x
+    return g1 + dln1_x
+
+
+def _block_bwd_kernel(x_ref, dy_ref, an_s_ref, an_b_ref, wqkv_ref, wout_ref,
+                      bout_ref, fn_s_ref, fn_b_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref,
+                      dx_ref, dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref,
+                      dbout_ref, dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref,
+                      dw2_ref, db2_ref,
+                      *, n_valid: int, heads: int, dim_head: int, tb: int,
+                      scale: float):
+    """Full block backward for one frame tile: recompute fwd in VMEM, then
+    reverse-mode by hand (see `_block_bwd_body`). Weight grads accumulate
+    across the (sequential) grid into constant-index output blocks."""
+    np_ = x_ref.shape[1]
+    d = x_ref.shape[2]
+    cdt = x_ref.dtype
+    rows = tb * np_
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+                    dfn_s_ref, dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    x32 = x_ref[...].reshape(rows, d).astype(jnp.float32)
+    dy32 = dy_ref[...].reshape(rows, d).astype(jnp.float32)
+    w = (an_s_ref, an_b_ref, wqkv_ref, wout_ref, bout_ref, fn_s_ref,
+         fn_b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    g = (dan_s_ref, dan_b_ref, dwqkv_ref, dwout_ref, dbout_ref, dfn_s_ref,
+         dfn_b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref)
+    dx = _block_bwd_body(x32, dy32, w, g, n_valid=n_valid, heads=heads,
+                         dim_head=dim_head, tb=tb, np_=np_, scale=scale,
+                         cdt=cdt)
     dx_ref[...] = dx.reshape(tb, np_, d).astype(dx_ref.dtype)
 
 

@@ -268,11 +268,19 @@ def _blocks_vjp_fwd(x, blocks, fn, heads, dim_head, final_norm, interpret):
 
 def _blocks_vjp_bwd(heads, dim_head, final_norm, interpret, res, g):
     x, blocks, fn = res
-    _, vjp = jax.vjp(
-        lambda *a: _blocks_xla(*a, heads=heads, dim_head=dim_head,
-                               final_norm=final_norm),
-        x, blocks, fn)
-    return vjp(g)
+    import os
+    if os.environ.get("DGVIT_TRUNK_BWD") == "xla":
+        # debugging fallback: differentiate the unfused twin instead
+        _, vjp = jax.vjp(
+            lambda *a: _blocks_xla(*a, heads=heads, dim_head=dim_head,
+                                   final_norm=final_norm),
+            x, blocks, fn)
+        return vjp(g)
+    # ONE recompute-everything backward launch for the whole trunk
+    # (ops/trunk_train.py) — the SAC-update fast path
+    from dgvit_tpu.ops.trunk_train import trunk_bwd_impl
+    return trunk_bwd_impl(x, g, blocks, fn, heads=heads, dim_head=dim_head,
+                          final_norm=final_norm, interpret=interpret)
 
 
 blocks_cls_forward_fused.defvjp(_blocks_vjp_fwd, _blocks_vjp_bwd)
