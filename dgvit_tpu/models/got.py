@@ -91,10 +91,14 @@ class GoT(nn.Module):
         in_h, in_w = (img.shape[-2], img.shape[-1])
         in_patches = (in_h // ph) * (in_w // pw)
         # blocks_ok: the fused blocks->CLS->final-norm path (embed + emb-
-        # dropout stay in XLA). Taken by EVERY eligible pass — including
-        # gradient-bearing ones, whose backward is the single whole-trunk
-        # recompute kernel (ops/trunk_train.py): 1 fwd + 1 bwd launch per
-        # trunk instead of 4 + 4 per-block launches.
+        # dropout stay in XLA). Default: inference passes only — the
+        # per-block custom-vjp kernels win the gradient-bearing A/B on this
+        # chip (5.32 vs 6.57 ms per fwd+bwd @256: the whole-trunk backward's
+        # chain recompute costs one extra forward, BENCH.md round 3).
+        # DGVIT_TRUNK_GRAD=1 opts gradient passes into the single whole-
+        # trunk recompute backward (ops/trunk_train.py, 1 fwd + 1 bwd launch
+        # per trunk instead of 4 + 4) for future stacks where launch
+        # overhead dominates.
         blocks_ok = (
             not self.is_initializing()
             and (jax.default_backend() == "tpu"
@@ -108,6 +112,8 @@ class GoT(nn.Module):
             and not (self.heads == 1 and self.dim_head == self.dim)
             and in_patches + 1 <= 256
         )
+        if os.environ.get("DGVIT_TRUNK_GRAD") != "1":
+            blocks_ok = blocks_ok and inference
         mega_ok = blocks_ok and inference and in_patches == num_patches
         use_mega = mega_ok and deterministic
 

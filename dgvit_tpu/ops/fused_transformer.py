@@ -134,6 +134,50 @@ def _attn_batched(qkv, *, n_valid: int, heads: int, dim_head: int, tb: int,
     return jnp.concatenate(outs, axis=0)               # (tb*np_, inner)
 
 
+def _use_frame_attn() -> bool:
+    """FRAME-batched attention: the dot_general batch dim is the frame tile
+    (axis 0 — the one batch-dim position Mosaic lowers), so each head costs
+    ONE batched score matmul + ONE batched value matmul for all tb frames.
+    Unlike the head-batched variant above, no slice+concat restacking is
+    needed: the token stream is already frame-major, so the (tb, np, dh)
+    operands are a major-split reshape + lane-aligned minor slice."""
+    import os
+
+    return os.environ.get("DGVIT_FRAME_ATTN", "0") == "1"
+
+
+def _attn_frame_batched(qkv, *, n_valid: int, heads: int, dim_head: int,
+                        tb: int, np_: int, scale: float, cdt):
+    """(tb*np_, 3*inner) qkv -> (tb*np_, inner) with frames as the batch dim
+    of the score/value dot_generals (heads stay a Python loop)."""
+    inner = heads * dim_head
+    qkv3 = qkv.reshape(tb, np_, 3 * inner)          # major-split: lowers
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, np_, np_), dimension=2)
+    mask = col < n_valid
+    neg = jnp.finfo(jnp.float32).min
+
+    head_outs = []
+    for hd in range(heads):
+        q = jax.lax.slice(qkv3, (0, 0, hd * dim_head),
+                          (tb, np_, (hd + 1) * dim_head))
+        k = jax.lax.slice(qkv3, (0, 0, inner + hd * dim_head),
+                          (tb, np_, inner + (hd + 1) * dim_head))
+        v = jax.lax.slice(qkv3, (0, 0, 2 * inner + hd * dim_head),
+                          (tb, np_, 2 * inner + (hd + 1) * dim_head))
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # (tb, np, np)
+        s = jnp.where(mask, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+        head_outs.append(jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cdt))  # (tb, np, dh)
+    o3 = jnp.concatenate(head_outs, axis=2)          # (tb, np, inner)
+    return o3.reshape(tb * np_, inner)
+
+
 def _block_body(x32, w, *, n_valid: int, heads: int, dim_head: int, tb: int,
                 np_: int, scale: float, cdt):
     """One complete pre-norm transformer block on an in-VMEM fp32 residual
@@ -153,7 +197,11 @@ def _block_body(x32, w, *, n_valid: int, heads: int, dim_head: int, tb: int,
     qkv = jnp.dot(h, wqkv_ref[...],
                   preferred_element_type=jnp.float32).astype(cdt)
 
-    if _use_batched_attn():
+    if _use_frame_attn():
+        o = _attn_frame_batched(qkv, n_valid=n_valid, heads=heads,
+                                dim_head=dim_head, tb=tb, np_=np_,
+                                scale=scale, cdt=cdt)
+    elif _use_batched_attn():
         o = _attn_batched(qkv, n_valid=n_valid, heads=heads,
                           dim_head=dim_head, tb=tb, np_=np_, scale=scale,
                           cdt=cdt)

@@ -1,0 +1,80 @@
+"""Reference-scale from-scratch training run — the Gazebo-free analogue of
+the reference's headline protocol (main.py:304-417): MAX_EPISODES=800,
+MAX_STEPS=800 (config.yaml:9-10), batch 32, buffer 30k, from-scratch SAC
+with PER + nan_guard on the kinematic RRC world, followed by the testing.py
+evaluation protocol (deterministic episodes, success % + collision count).
+
+Artifacts land in results/ref_scale: episode JSONL (reward curve, SAC
+internals), periodic checkpoints, and a final eval row.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/reference_scale_run.py
+     [--episodes 800 --eval-episodes 100 --out results/ref_scale]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dgvit_tpu.utils.compcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--episodes", type=int, default=800)
+    p.add_argument("--eval-episodes", type=int, default=100,
+                   help="testing.py:46 protocol evaluates 100 episodes")
+    p.add_argument("--out", default="results/ref_scale")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.envs import KinematicNavEnv
+    from dgvit_tpu.train.evaluate import run_eval
+    from dgvit_tpu.train.train_rl import train
+
+    cfg = Config()                      # reference defaults: 800x800, batch 32
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.sac.prioritized_replay = True
+    cfg.sac.nan_guard = True
+    cfg.train.pre_train = False         # from scratch
+    cfg.train.pre_buffer = False
+    cfg.train.plot_interval = 10 ** 9
+    cfg.train.eval_threshold = 10 ** 9  # no mid-train eval pauses
+    cfg.train.reward_threshold = 10 ** 9
+    cfg.train.save_interval = 100
+    cfg.train.desc = "ref_scale_per"
+
+    env = KinematicNavEnv(seed=3407)    # reference SEED (config.yaml:7)
+    t0 = time.time()
+    res = train(cfg, env, out_dir=args.out, max_episodes=args.episodes,
+                resume=args.resume)
+    train_wall = time.time() - t0
+    print(f"train done: {res['successes']} goals / {res['episodes']} episodes "
+          f"in {train_wall / 3600:.2f} h, max mean reward "
+          f"{res['max_mean_reward']:.1f}", flush=True)
+
+    ev = KinematicNavEnv(seed=7)
+    r = run_eval(cfg, ev, res["state"].actor_params,
+                 max_episodes=args.eval_episodes, out_dir=args.out,
+                 name="ref_scale_eval")
+    summary = {
+        "train_episodes": res["episodes"],
+        "train_successes": res["successes"],
+        "max_mean_reward": round(float(res["max_mean_reward"]), 2),
+        "train_hours": round(train_wall / 3600, 3),
+        "eval_success_rate": r["success_rate"],
+        "eval_collisions": r.get("collisions"),
+        "eval_episodes": args.eval_episodes,
+    }
+    (Path(args.out) / "summary.json").write_text(json.dumps(summary))
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,13 @@
 """Whole-trunk TRAIN-path kernel (ops/trunk_train.py): one recompute-
 everything backward launch for blocks -> CLS pool -> final norm.
 
-Gradient-bearing GoT passes route through `blocks_cls_forward_fused`
-(models/got.py `blocks_ok`), whose custom-vjp backward is the single trunk
-kernel. These gates run the REAL kernels in Pallas interpret mode on CPU
-(DGVIT_FUSED_INTERPRET=1) and require the fused-path gradients to match the
-composed flax model's. Hardware equivalence is asserted in bench.py --all.
+With DGVIT_TRUNK_GRAD=1, gradient-bearing GoT passes route through
+`blocks_cls_forward_fused` (models/got.py `blocks_ok`), whose custom-vjp
+backward is the single trunk kernel. (Default routing keeps the per-block
+custom-vjp kernels for gradients — they measured faster on this chip,
+BENCH.md round 3 — so these gates opt in explicitly.) The gates run the
+REAL kernels in Pallas interpret mode on CPU (DGVIT_FUSED_INTERPRET=1) and
+require the fused-path gradients to match the composed flax model's.
 
 Reference anchor: DRL.py:373-437 (the SAC learn hot loop this accelerates).
 """
@@ -45,10 +47,12 @@ def _grads(got, params, img, goal, fused: bool):
     if not fused:
         return jax.grad(loss, argnums=(0, 1))(params, goal)
     os.environ["DGVIT_FUSED_INTERPRET"] = "1"
+    os.environ["DGVIT_TRUNK_GRAD"] = "1"
     try:
         return jax.grad(loss, argnums=(0, 1))(params, goal)
     finally:
         del os.environ["DGVIT_FUSED_INTERPRET"]
+        del os.environ["DGVIT_TRUNK_GRAD"]
 
 
 def _assert_close(g_out, g_ref, rtol=1e-4, atol=1e-4):
@@ -119,8 +123,10 @@ def test_trunk_bwd_with_emb_dropout():
 
     g_ref = jax.grad(loss, argnums=(0, 1))(params, goal)
     os.environ["DGVIT_FUSED_INTERPRET"] = "1"
+    os.environ["DGVIT_TRUNK_GRAD"] = "1"
     try:
         g_out = jax.grad(loss, argnums=(0, 1))(params, goal)
     finally:
         del os.environ["DGVIT_FUSED_INTERPRET"]
+        del os.environ["DGVIT_TRUNK_GRAD"]
     _assert_close(g_out, g_ref)
