@@ -21,7 +21,7 @@ import pytest
 
 from dgvit_tpu.models.got import GoT
 
-SMALL = dict(dim=64, depth=3, heads=2, dim_head=16, mlp_dim=128,
+SMALL = dict(dim=64, depth=2, heads=2, dim_head=16, mlp_dim=64,
              emb_dropout=0.0, image_size=(32, 40), patch_size=(16, 20))
 IH, IW = SMALL["image_size"]
 
@@ -67,8 +67,10 @@ def _assert_close(g_out, g_ref, rtol=1e-4, atol=1e-4):
 @pytest.mark.parametrize("final_norm", ["rms", "layer"])
 def test_trunk_bwd_matches_composed(final_norm):
     """Full param-tree + goal gradients through the fused path (blocks
-    kernel fwd, ONE trunk kernel bwd) vs the composed flax model."""
-    got, params, img, goal = _setup(final_norm=final_norm)
+    kernel fwd, ONE trunk kernel bwd) vs the composed flax model. The rms
+    case runs depth 3 so the reversed full-block loop iterates >1 time."""
+    got, params, img, goal = _setup(final_norm=final_norm,
+                                    depth=3 if final_norm == "rms" else 2)
     _assert_close(_grads(got, params, img, goal, fused=True),
                   _grads(got, params, img, goal, fused=False))
 
