@@ -56,6 +56,13 @@ def make_env_step_callback(env: Env, obs_shape, goal_dim: int = 4):
     return host_step, result_shapes
 
 
+# (agent, env, max_steps, scales, evaluate, obs/goal shape) -> compiled run.
+# The jitted scan closes over the env's host_step callback, so rebuilding it
+# per episode would re-trace (and re-compile) every call — episode loops
+# (evaluate --device-rollout) reuse the cached program instead.
+_RUN_CACHE: dict = {}
+
+
 def device_rollout(agent, state, env: Env, max_steps: int,
                    l_scale: float, a_scale: float, rng: jax.Array,
                    evaluate: bool = True) -> RolloutResult:
@@ -63,6 +70,13 @@ def device_rollout(agent, state, env: Env, max_steps: int,
     r = env.reset()
     obs0 = r.state[..., 0] if r.state.ndim == 3 else r.state
     obs_shape = obs0.shape
+    cache_key = (id(agent), id(env), max_steps, float(l_scale),
+                 float(a_scale), bool(evaluate), obs_shape, len(r.to_goal))
+    cached = _RUN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(state.actor_params, jnp.asarray(obs0, jnp.float32),
+                      jnp.asarray(r.to_goal, jnp.float32), rng)
+
     host_step, result_shapes = make_env_step_callback(env, obs_shape,
                                                       goal_dim=len(r.to_goal))
 
@@ -90,5 +104,6 @@ def device_rollout(agent, state, env: Env, max_steps: int,
         return RolloutResult(rews, dones, acts, steps.astype(jnp.int32),
                              targets)
 
+    _RUN_CACHE[cache_key] = run
     return run(state.actor_params, jnp.asarray(obs0, jnp.float32),
                jnp.asarray(r.to_goal, jnp.float32), rng)

@@ -1,0 +1,92 @@
+"""Host-loop vs on-device (io_callback) rollout throughput on the kinematic
+env — the BENCH row for the SURVEY §2.3 host-boundary commitment.
+
+Host loop: one choose_action dispatch per step (reference main.py:369
+pattern — H2D image, D2H action, full Python dispatch each step, paying the
+tunnel RTT on this machine).
+Device loop: the whole episode is ONE jitted lax.scan; only env physics
+crosses the boundary via ordered io_callback (train/device_rollout.py).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_rollout.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dgvit_tpu.utils.compcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgvit_tpu.agents import SACAgent
+from dgvit_tpu.config import Config
+from dgvit_tpu.envs import KinematicNavEnv
+from dgvit_tpu.train.device_rollout import device_rollout
+
+EPISODES = 5
+MAX_STEPS = 200
+
+
+def main():
+    cfg = Config()
+    cfg.model.compute_dtype = "bfloat16"
+    agent = SACAgent(cfg, dtype=jnp.bfloat16)
+    state = agent.init_state(0)
+    l_s, a_s = cfg.env.linear_cmd_scale, cfg.env.angular_cmd_scale
+
+    # ---- host loop (reference pattern) -------------------------------------
+    env = KinematicNavEnv(seed=11)
+    key = jax.random.PRNGKey(0)
+    # warm the choose_action compile outside the timed region
+    s0 = env.reset(0)
+    a = agent.choose_action(state, s0.state, np.asarray(s0.to_goal)[:2],
+                            key, evaluate=True)
+    np.asarray(a)
+    steps = 0
+    t0 = time.perf_counter()
+    for ep in range(EPISODES):
+        s = env.reset(ep)
+        for t in range(MAX_STEPS):
+            a = np.asarray(agent.choose_action(
+                state, s.state, np.asarray(s.to_goal)[:2], key,
+                evaluate=True))
+            s = env.step([(float(a[0]) + 1) * l_s, float(a[1]) * a_s], t)
+            steps += 1
+            if s.done:
+                break
+    host_dt = time.perf_counter() - t0
+    host_sps = steps / host_dt
+    print(json.dumps({"metric": "host-loop env steps/s (kinematic)",
+                      "value": round(host_sps, 1), "unit": "steps/s",
+                      "steps": steps}), flush=True)
+
+    # ---- on-device io_callback loop -----------------------------------------
+    env2 = KinematicNavEnv(seed=11)
+    # warm compile: one episode (device_rollout resets the env itself)
+    r = device_rollout(agent, state, env2, MAX_STEPS, l_s, a_s,
+                       jax.random.PRNGKey(1), evaluate=True)
+    int(r.steps)
+    steps_d = 0
+    t0 = time.perf_counter()
+    for ep in range(EPISODES):
+        r = device_rollout(agent, state, env2, MAX_STEPS, l_s, a_s,
+                           jax.random.PRNGKey(ep), evaluate=True)
+        steps_d += int(r.steps)
+    dev_dt = time.perf_counter() - t0
+    dev_sps = steps_d / dev_dt
+    print(json.dumps({"metric": "on-device io_callback env steps/s (kinematic)",
+                      "value": round(dev_sps, 1), "unit": "steps/s",
+                      "steps": steps_d,
+                      "speedup_vs_host_loop": round(dev_sps / host_sps, 2)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
