@@ -23,10 +23,15 @@ per-block path round-trips HBM), and the backward casts dx to the compute
 dtype between blocks (where the per-block path crosses pallas_call output
 boundaries).
 
-Used as the backward of `blocks_cls_forward_fused` (ops/got_megakernel.py),
-which models/got.py routes ALL gradient-bearing trunk passes through — so a
-SAC train step runs 1 fwd + 1 bwd launch per network instead of 4 + 4.
-Reference anchor: DRL.py:373-437 (the learn hot loop this accelerates).
+Used as the backward of `blocks_cls_forward_fused` (ops/got_megakernel.py).
+With DGVIT_TRUNK_GRAD=1, models/got.py routes gradient-bearing trunk passes
+through it — a SAC train step then runs 1 fwd + 1 bwd launch per network
+instead of 4 + 4. MEASURED RESULT (BENCH.md round 3): on the current chip
+this loses to the per-block scheme (6.57 vs 5.32 ms per fwd+bwd @ B=256)
+because the chain recompute costs one extra forward while launch overhead
+is negligible in-graph — so the default routing keeps the per-block
+kernels and this stays opt-in for stacks where launches dominate.
+Reference anchor: DRL.py:373-437 (the learn hot loop this targets).
 """
 
 from __future__ import annotations
