@@ -89,31 +89,71 @@ def default_records(n: int = 32, seed: int = 0, clearance: float = 0.4,
     With no `world`, uses reward.check_pos (exact utils.py:77-89 semantics);
     other worlds use their own box sets."""
     rng = np.random.default_rng(seed)
-    if world is None or world.name == "rrc":
+    rrc = world is None or world.name == "rrc"
+    if rrc:
         boxes, arena = BOXES, ARENA
-        free = lambda x, y: R.check_pos(x, y)
     else:
         boxes, arena = list(world.boxes), world.arena
-
-        def free(x, y):
-            return not any(x0 <= x <= x1 and y0 <= y <= y1
-                           for x0, x1, y0, y1 in boxes)
     lo_x, hi_x = arena[0] + 0.4, arena[1] - 0.4
     lo_y, hi_y = arena[2] + 0.4, arena[3] - 0.4
-    recs = []
+    bx = np.asarray(boxes, np.float64)  # (n_boxes, 4) x0 x1 y0 y1
+
+    def free_v(x, y):
+        """Vectorized spawn-validity check. RRC replicates check_pos
+        (utils.py:77-89, incl. the 5/-5/3.7/-3 bounds clause); other worlds
+        simply reject points inside any obstacle box."""
+        inside = np.zeros(x.shape, bool)
+        strict = rrc  # check_pos uses strict <; other worlds used <=
+        for x0, x1, y0, y1 in (R.CHECK_POS_BOXES if rrc else boxes):
+            if strict:
+                inside |= (x0 < x) & (x < x1) & (y0 < y) & (y < y1)
+            else:
+                inside |= (x0 <= x) & (x <= x1) & (y0 <= y) & (y <= y1)
+        ok = ~inside
+        if rrc:
+            ok &= ~((x > 5) | (x < -5) | (y > 3.7) | (y < -3))
+        return ok
+
+    def clearance_v(x, y):
+        """Vectorized _box_clearance: distance to nearest box or wall."""
+        best = np.minimum.reduce([x - arena[0], arena[1] - x,
+                                  y - arena[2], arena[3] - y])
+        dx = np.maximum(np.maximum(bx[:, 0] - x[:, None], 0.0),
+                        x[:, None] - bx[:, 1])
+        dy = np.maximum(np.maximum(bx[:, 2] - y[:, None], 0.0),
+                        y[:, None] - bx[:, 3])
+        return np.minimum(best, np.hypot(dx, dy).min(axis=1))
+
+    # Block-rejection sampling. Draw order matches the original scalar loop
+    # (xR, yR, xG, yG per iteration, one float64 stream draw each), so the
+    # accepted-record sequence is bit-identical to the pre-vectorization
+    # implementation for any (seed, n) — pinned by
+    # tests/test_envs.py::test_default_records_bitexact_vs_scalar.
+    recs: List[dict] = []
+    block = 1 << 15
     while len(recs) < n:
-        xR, yR = rng.uniform(lo_x, hi_x), rng.uniform(lo_y, hi_y)
-        xG, yG = rng.uniform(lo_x, hi_x), rng.uniform(lo_y, hi_y)
-        if not (free(xR, yR) and free(xG, yG)):
-            continue
-        if _box_clearance(xR, yR, boxes, arena) < clearance or \
-                _box_clearance(xG, yG, boxes, arena) < clearance:
-            continue
-        d = math.hypot(xR - xG, yR - yG)
-        if d < 1.0:
-            continue
-        recs.append({"xR": xR, "yR": yR, "xG": xG, "yG": yG,
-                     "quaterZ": 0.0, "quaterW": 1.0, "distance": d})
+        u = rng.random((block, 4))
+        xR = lo_x + (hi_x - lo_x) * u[:, 0]
+        yR = lo_y + (hi_y - lo_y) * u[:, 1]
+        xG = lo_x + (hi_x - lo_x) * u[:, 2]
+        yG = lo_y + (hi_y - lo_y) * u[:, 3]
+        ok = free_v(xR, yR) & free_v(xG, yG)
+        ok &= (clearance_v(xR, yR) >= clearance) & \
+              (clearance_v(xG, yG) >= clearance)
+        # np.hypot can differ from math.hypot in the last ULP; prefilter
+        # with a small slack, then apply the authoritative scalar predicate
+        # (and store the scalar value) so results stay bit-identical.
+        ok &= np.hypot(xR - xG, yR - yG) >= 1.0 - 1e-9
+        for i in np.flatnonzero(ok):
+            d = math.hypot(xR[i] - xG[i], yR[i] - yG[i])
+            if d < 1.0:
+                continue
+            recs.append({"xR": float(xR[i]), "yR": float(yR[i]),
+                         "xG": float(xG[i]), "yG": float(yG[i]),
+                         "quaterZ": 0.0, "quaterW": 1.0,
+                         "distance": d})
+            if len(recs) == n:
+                break
     return recs
 
 

@@ -104,16 +104,20 @@ def binning(lower_bound: int, data: jax.Array, quantity: int) -> jax.Array:
     return windows[None, :]
 
 
+# Obstacle boxes of utils.py:77-89 (RRC world), hoisted so vectorized
+# samplers (kinematic.default_records) share the single source of truth.
+# The sixth clause `-4.5 < x < -5.5` (utils.py:84) has reversed bounds and
+# is always False — replicated as-is for behavioral parity.
+CHECK_POS_BOXES = (
+    (3.6, 5.5, -3.5, 4), (-4.5, 4, -3.5, -1.8), (-3.5, 3.3, -1.6, 2.5),
+    (-5, -4, -3.5, 0.3), (-5.5, -4, 2, 4), (-4.5, -5.5, 0.2, 2.1),
+    (-4.1, 0.1, 3, 4), (2.2, 3.8, 2.5, 4), (0, 2.3, 2.5, 4),
+)
+
+
 def check_pos(x: float, y: float) -> bool:
-    """Obstacle-box rejection for sampled goals (utils.py:77-89, RRC world).
-    The reference's sixth clause `-4.5 < x < -5.5` (utils.py:84) has reversed
-    bounds and is always False — replicated as-is for behavioral parity."""
-    boxes = [
-        (3.6, 5.5, -3.5, 4), (-4.5, 4, -3.5, -1.8), (-3.5, 3.3, -1.6, 2.5),
-        (-5, -4, -3.5, 0.3), (-5.5, -4, 2, 4), (-4.5, -5.5, 0.2, 2.1),
-        (-4.1, 0.1, 3, 4), (2.2, 3.8, 2.5, 4), (0, 2.3, 2.5, 4),
-    ]
-    for x0, x1, y0, y1 in boxes:
+    """Obstacle-box rejection for sampled goals (utils.py:77-89, RRC world)."""
+    for x0, x1, y0, y1 in CHECK_POS_BOXES:
         if x0 < x < x1 and y0 < y < y1:
             return False
     if x > 5 or x < -5 or y > 3.7 or y < -3:

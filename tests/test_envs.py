@@ -234,6 +234,55 @@ def test_hospital_env_runs_and_differs_from_rrc():
     assert not np.allclose(env._depth_image(), env_rrc._depth_image())
 
 
+def _scalar_default_records(n, seed, clearance=0.4, world=None):
+    """The pre-vectorization scalar sampler, kept verbatim as the oracle for
+    test_default_records_bitexact_vs_scalar."""
+    import math
+    from dgvit_tpu.envs.kinematic import BOXES, ARENA, _box_clearance
+
+    rng = np.random.default_rng(seed)
+    if world is None or world.name == "rrc":
+        boxes, arena = BOXES, ARENA
+        free = lambda x, y: R.check_pos(x, y)  # noqa: E731
+    else:
+        boxes, arena = list(world.boxes), world.arena
+
+        def free(x, y):
+            return not any(x0 <= x <= x1 and y0 <= y <= y1
+                           for x0, x1, y0, y1 in boxes)
+    lo_x, hi_x = arena[0] + 0.4, arena[1] - 0.4
+    lo_y, hi_y = arena[2] + 0.4, arena[3] - 0.4
+    recs = []
+    while len(recs) < n:
+        xR, yR = rng.uniform(lo_x, hi_x), rng.uniform(lo_y, hi_y)
+        xG, yG = rng.uniform(lo_x, hi_x), rng.uniform(lo_y, hi_y)
+        if not (free(xR, yR) and free(xG, yG)):
+            continue
+        if _box_clearance(xR, yR, boxes, arena) < clearance or \
+                _box_clearance(xG, yG, boxes, arena) < clearance:
+            continue
+        d = math.hypot(xR - xG, yR - yG)
+        if d < 1.0:
+            continue
+        recs.append({"xR": xR, "yR": yR, "xG": xG, "yG": yG,
+                     "quaterZ": 0.0, "quaterW": 1.0, "distance": d})
+    return recs
+
+
+def test_default_records_bitexact_vs_scalar():
+    """The block-vectorized sampler must reproduce the scalar rejection loop
+    bit-for-bit: same PRNG stream consumption order (xR,yR,xG,yG per
+    candidate), same acceptance predicates, for both world flavors."""
+    from dgvit_tpu.envs.kinematic import default_records
+    from dgvit_tpu.envs.worlds import HOSPITAL
+
+    for world in (None, HOSPITAL):
+        for seed in (0, 7):
+            fast = default_records(n=12, seed=seed, world=world)
+            slow = _scalar_default_records(n=12, seed=seed, world=world)
+            assert fast == slow
+
+
 def test_rrc_default_records_unchanged_by_world_refactor():
     from dgvit_tpu.envs.kinematic import default_records
     from dgvit_tpu.envs.worlds import RRC
