@@ -117,6 +117,16 @@ class SACAgent:
         self.fixed_alpha = float(s.alpha)
         self.done_mask = bool(s.done_mask_in_target)
         self.nan_guard = bool(getattr(s, "nan_guard", False))
+        # perf opt-in (non-parity, config.py sac.critic_latent_reuse): actor
+        # loss reuses the critic-update's trunk latent + PRE-update params
+        # instead of re-running the GoT trunk on the updated critic
+        self.latent_reuse = bool(getattr(s, "critic_latent_reuse", False))
+        if self.latent_reuse:
+            from dgvit_tpu.models.policies import GoTQNetwork
+            if not isinstance(self.critic, GoTQNetwork):
+                raise ValueError(
+                    "critic_latent_reuse requires the GoT critic "
+                    f"(critic_type=Transformer, got {type(self.critic).__name__})")
         self.guidence_weight = float(s.guidence_weight)
         self.engage_weight = float(s.engage_weight)
         gw_final = getattr(s, "guidence_weight_final", None)
@@ -287,6 +297,22 @@ class SACAgent:
         return self.critic.apply({"params": params}, obs, pobs, act,
                                  deterministic=True, inference=inference)
 
+    def _apply_critic_trunk(self, params, obs, pobs, dropout_key=None,
+                            inference: bool = False):
+        """Action-independent critic half (GoTQNetwork.trunk)."""
+        if dropout_key is not None:
+            return self.critic.apply({"params": params}, obs, pobs,
+                                     deterministic=False,
+                                     rngs={"dropout": self._shard_key(dropout_key)},
+                                     inference=inference, method="trunk")
+        return self.critic.apply({"params": params}, obs, pobs,
+                                 deterministic=True, inference=inference,
+                                 method="trunk")
+
+    def _apply_critic_heads(self, params, latent, act):
+        return self.critic.apply({"params": params}, latent, act,
+                                 method="heads")
+
     # ------------------------------------------------------------------
     # acting
     # ------------------------------------------------------------------
@@ -334,11 +360,21 @@ class SACAgent:
             target = rew + self.gamma * (1.0 - batch["done"].reshape(-1, 1)) * min_q
         return jax.lax.stop_gradient(target)
 
-    def _critic_update(self, state, batch, target, key, weights=None):
+    def _critic_update(self, state, batch, target, key, weights=None,
+                       return_latent: bool = False):
         def loss_fn(cp):
             k1 = key
-            q1, q2 = self._apply_critic(cp, batch["obs"], batch["pobs"],
-                                        batch["act"], dropout_key=k1)
+            if return_latent:
+                # split apply so the trunk latent can be handed to the actor
+                # step (critic_latent_reuse); numerically identical to the
+                # composed __call__
+                latent = self._apply_critic_trunk(cp, batch["obs"],
+                                                  batch["pobs"], dropout_key=k1)
+                q1, q2 = self._apply_critic_heads(cp, latent, batch["act"])
+            else:
+                latent = None
+                q1, q2 = self._apply_critic(cp, batch["obs"], batch["pobs"],
+                                            batch["act"], dropout_key=k1)
             if weights is None:
                 l1 = jnp.mean(jnp.square(q1 - target))
                 l2 = jnp.mean(jnp.square(q2 - target))
@@ -347,19 +383,26 @@ class SACAgent:
                 denom = self._denom(jnp.sum(w) * q1.shape[1])
                 l1 = jnp.sum(w * jnp.square(q1 - target)) / denom
                 l2 = jnp.sum(w * jnp.square(q2 - target)) / denom
-            return l1 + l2, (l1, l2)
+            return l1 + l2, (l1, l2, latent)
 
-        (qf_loss, (qf1_loss, qf2_loss)), grads = jax.value_and_grad(
+        (qf_loss, (qf1_loss, qf2_loss, latent)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.critic_params)
         grads = self._sync_grads(grads)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
                                                  state.critic_params)
         new_params = optax.apply_updates(state.critic_params, updates)
-        return state.replace(critic_params=new_params, critic_opt=new_opt), \
-            qf1_loss, qf2_loss
+        new_state = state.replace(critic_params=new_params, critic_opt=new_opt)
+        if return_latent:
+            return new_state, qf1_loss, qf2_loss, \
+                jax.lax.stop_gradient(latent)
+        return new_state, qf1_loss, qf2_loss
 
     def _actor_update(self, state, alpha, batch, key, weights=None,
-                      extra_loss_fn=None, noise_rows=None):
+                      extra_loss_fn=None, noise_rows=None,
+                      critic_latent=None, critic_heads_params=None):
+        """`critic_latent`/`critic_heads_params`: critic_latent_reuse mode —
+        evaluate only the twin heads on a trunk latent stashed by the critic
+        update (PRE-update params), skipping the trunk re-forward."""
         k1, k2, k3 = jax.random.split(key, 3)
 
         def loss_fn(ap):
@@ -368,10 +411,14 @@ class SACAgent:
             # the critic TRUNK latent is constant w.r.t. ap (the action joins
             # after the trunk, got_sac_network.py:114) — no gradient flows
             # into it, so the fused no-grad path applies
-            q1_pi, q2_pi = self._apply_critic(state.critic_params,
-                                              batch["obs"], batch["pobs"],
-                                              s.action, dropout_key=k3,
-                                              inference=True)
+            if critic_latent is not None:
+                q1_pi, q2_pi = self._apply_critic_heads(
+                    critic_heads_params, critic_latent, s.action)
+            else:
+                q1_pi, q2_pi = self._apply_critic(state.critic_params,
+                                                  batch["obs"], batch["pobs"],
+                                                  s.action, dropout_key=k3,
+                                                  inference=True)
             min_q = jnp.minimum(q1_pi, q2_pi)
             per_elem = alpha * s.log_prob - min_q  # (B,1)-(B,2) broadcast
             if weights is None:
@@ -445,8 +492,18 @@ class SACAgent:
         alpha = self._alpha_of(state)
 
         target = self._td_target(state, alpha, batch, k_tgt)
-        state, qf1_loss, qf2_loss = self._critic_update(state, batch, target, k_crit)
-        state, policy_loss, log_pi = self._actor_update(state, alpha, batch, k_act)
+        if self.latent_reuse:
+            pre_critic = state.critic_params
+            state, qf1_loss, qf2_loss, latent = self._critic_update(
+                state, batch, target, k_crit, return_latent=True)
+            state, policy_loss, log_pi = self._actor_update(
+                state, alpha, batch, k_act, critic_latent=latent,
+                critic_heads_params=pre_critic)
+        else:
+            state, qf1_loss, qf2_loss = self._critic_update(state, batch,
+                                                            target, k_crit)
+            state, policy_loss, log_pi = self._actor_update(state, alpha,
+                                                            batch, k_act)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {

@@ -118,6 +118,12 @@ class SACConfig:
     # to `depth` steps stale relative to the newest transition — a deliberate
     # deviation from the reference's sample-after-store ordering, so opt-in.
     prefetch_batches: bool = False
+    # Perf opt-in (non-parity): the actor loss evaluates the critic on the
+    # PRE-update params, reusing the trunk latent computed during the critic
+    # update instead of re-running the GoT trunk (saves one of the ~7 trunk
+    # passes per update). Deviates from the reference's post-update-critic
+    # ordering (DRL.py:401-407), so off by default. GoT critic only.
+    critic_latent_reuse: bool = False
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0

@@ -93,26 +93,52 @@ class GoTQNetwork(nn.Module):
     seq_shard: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, istate, pstate, action, *, deterministic: bool = True,
-                 inference: bool = False):
-        goal = nn.relu(TorchLinear(self.l_f_size, dtype=self.dtype, name="fc_embed")(pstate))
-        latent = GoT(
+    def setup(self):
+        # setup() (not nn.compact) so `trunk` and `heads` are independently
+        # apply-able: the SAC critic_latent_reuse mode evaluates the trunk
+        # once per update and feeds the actor step heads-only. Attribute
+        # names match the previous explicit name= strings, so the param tree
+        # (and torch transplant) is unchanged.
+        self.fc_embed = TorchLinear(self.l_f_size, dtype=self.dtype)
+        self.trans = GoT(
             image_size=self.image_size, patch_size=self.patch_size,
             dim=self.l_f_size, depth=self.block, heads=self.head,
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
             emb_dropout=self.emb_dropout, patch_mode=self.patch_mode,
             attn_impl=self.attn_impl, seq_shard=self.seq_shard,
-            dtype=self.dtype, name="trans",
-        )(istate, goal, deterministic=deterministic, inference=inference)
+            dtype=self.dtype,
+        )
+        self.fc1 = TorchLinear(128, dtype=self.dtype)
+        self.fc2 = TorchLinear(32, dtype=self.dtype)
+        self.fc3 = TorchLinear(self.action_dim, dtype=self.dtype)
+        self.fc11 = TorchLinear(128, dtype=self.dtype)
+        self.fc21 = TorchLinear(32, dtype=self.dtype)
+        self.fc31 = TorchLinear(self.action_dim, dtype=self.dtype)
+
+    def trunk(self, istate, pstate, *, deterministic: bool = True,
+              inference: bool = False):
+        """Action-independent half: goal embed + GoT backbone → (B, l_f)."""
+        goal = nn.relu(self.fc_embed(pstate))
+        return self.trans(istate, goal, deterministic=deterministic,
+                          inference=inference)
+
+    def heads(self, latent, action):
+        """Twin MLP heads over a precomputed trunk latent (the action joins
+        only here, got_sac_network.py:114)."""
         x = jnp.concatenate([latent, action.astype(latent.dtype)], axis=1)
-        q1 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc1")(x))
-        q1 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc2")(q1))
-        q1 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc3")(q1)
-        q2 = nn.relu(TorchLinear(128, dtype=self.dtype, name="fc11")(x))
-        q2 = nn.relu(TorchLinear(32, dtype=self.dtype, name="fc21")(q2))
-        q2 = TorchLinear(self.action_dim, dtype=self.dtype, name="fc31")(q2)
+        q1 = nn.relu(self.fc1(x))
+        q1 = nn.relu(self.fc2(q1))
+        q1 = self.fc3(q1)
+        q2 = nn.relu(self.fc11(x))
+        q2 = nn.relu(self.fc21(q2))
+        q2 = self.fc31(q2)
         return q1, q2
+
+    def __call__(self, istate, pstate, action, *, deterministic: bool = True,
+                 inference: bool = False):
+        return self.heads(
+            self.trunk(istate, pstate, deterministic=deterministic,
+                       inference=inference), action)
 
 
 class DeterministicGoTPolicy(nn.Module):

@@ -47,7 +47,7 @@ def main(argv=None):
     cfg.train.plot_interval = 10 ** 9
     cfg.train.eval_threshold = 10 ** 9  # no mid-train eval pauses
     cfg.train.reward_threshold = 10 ** 9
-    cfg.train.save_interval = 100
+    cfg.train.save_interval = 40    # bounded loss on interruption + --resume
     cfg.train.desc = "ref_scale_per"
 
     env = KinematicNavEnv(seed=3407)    # reference SEED (config.yaml:7)

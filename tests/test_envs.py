@@ -276,11 +276,12 @@ def test_default_records_bitexact_vs_scalar():
     from dgvit_tpu.envs.kinematic import default_records
     from dgvit_tpu.envs.worlds import HOSPITAL
 
-    for world in (None, HOSPITAL):
-        for seed in (0, 7):
-            fast = default_records(n=12, seed=seed, world=world)
-            slow = _scalar_default_records(n=12, seed=seed, world=world)
-            assert fast == slow
+    # one seed per world flavor keeps this under ~10 s (the scalar oracle is
+    # the slow half); both acceptance-predicate variants are exercised
+    for world, seed in ((None, 0), (HOSPITAL, 7)):
+        fast = default_records(n=8, seed=seed, world=world)
+        slow = _scalar_default_records(n=8, seed=seed, world=world)
+        assert fast == slow
 
 
 def test_rrc_default_records_unchanged_by_world_refactor():

@@ -310,3 +310,69 @@ def test_nan_guard_per_td_errors_stay_finite():
     _s, m, td = agent.learn_per(state, bad, jnp.ones((B,)))
     assert float(m["skipped_nonfinite"]) == 1.0
     assert np.isfinite(np.asarray(td)).all()
+
+
+# ---------------------------------------------------------------------------
+# critic_latent_reuse (perf opt-in, round 3): actor loss on the PRE-update
+# critic via the stashed trunk latent
+# ---------------------------------------------------------------------------
+
+def _reuse_cfg(reuse: bool, lr_critic: float = 1e-3) -> Config:
+    return Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "emb_dropout": 0.0},
+        "sac": {"batch_size": B, "lr_critic": lr_critic,
+                "critic_latent_reuse": reuse},
+    })
+
+
+def test_critic_latent_reuse_equivalent_when_critic_frozen():
+    """The ONLY semantic deviation of the reuse mode is pre- vs post-update
+    critic params in the actor loss (plus the dropout realization). With
+    lr_critic=0 (update is a no-op) and emb_dropout=0 the two modes must
+    produce the same step."""
+    batch = make_batch(jax.random.PRNGKey(11))
+    outs = {}
+    for reuse in (False, True):
+        agent = SACAgent(_reuse_cfg(reuse, lr_critic=0.0))
+        state = agent.init_state(seed=3407)
+        new_state, metrics = agent.learn(state, batch)
+        outs[reuse] = (jax.tree_util.tree_map(np.asarray,
+                                              new_state.actor_params), metrics)
+    pa, ma = outs[False]
+    pb, mb = outs[True]
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    for k in ma:
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_critic_latent_reuse_trains():
+    agent = SACAgent(_reuse_cfg(True))
+    state = agent.init_state(seed=7)
+    before_actor = jax.tree_util.tree_map(np.asarray, state.actor_params)
+    before_critic = jax.tree_util.tree_map(np.asarray, state.critic_params)
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, metrics = agent.learn(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before_actor),
+                        jax.tree_util.tree_leaves(new_state.actor_params)))
+    assert changed, "actor params did not change"
+    changed_c = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before_critic),
+                        jax.tree_util.tree_leaves(new_state.critic_params)))
+    assert changed_c, "critic params did not change"
+
+
+def test_critic_latent_reuse_rejects_cnn_critic():
+    cfg = Config.from_dict({
+        "model": {"critic_type": "CNN"},
+        "sac": {"critic_latent_reuse": True},
+    })
+    with pytest.raises(ValueError, match="critic_latent_reuse"):
+        SACAgent(cfg)

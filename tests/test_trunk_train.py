@@ -88,6 +88,7 @@ def test_trunk_bwd_matches_xla_twin():
     _assert_close(g_kern, g_twin, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # shape-variant compile of the OPT-IN trunk path
 def test_trunk_bwd_odd_batch():
     """b=3 pads up to the 8-frame tile; padded frames carry dy=0 and must
     not perturb weight grads."""
@@ -96,6 +97,7 @@ def test_trunk_bwd_odd_batch():
                   _grads(got, params, img, goal, fused=False))
 
 
+@pytest.mark.slow  # shape-variant compile of the OPT-IN trunk path
 def test_trunk_bwd_smaller_image():
     """Input smaller than the configured image_size: in_patches (2) !=
     num_patches (4) — the blocks path pads tokens and slices pos[:, :n+1];
@@ -105,6 +107,7 @@ def test_trunk_bwd_smaller_image():
                   _grads(got, params, img, goal, fused=False))
 
 
+@pytest.mark.slow  # shape-variant compile of the OPT-IN trunk path
 def test_trunk_bwd_channels_mode():
     """Frame-stacked (B, C, H, W) input (Imitation_learning.py:118-121
     fork) with the layer final norm."""
