@@ -533,15 +533,23 @@ class SACAgent:
         target = self._td_target(state, alpha, batch, k_tgt)
 
         def loss_fn(cp):
-            q1, q2 = self._apply_critic(cp, batch["obs"], batch["pobs"],
-                                        batch["act"], dropout_key=k_crit)
+            if self.latent_reuse:
+                latent = self._apply_critic_trunk(cp, batch["obs"],
+                                                  batch["pobs"],
+                                                  dropout_key=k_crit)
+                q1, q2 = self._apply_critic_heads(cp, latent, batch["act"])
+            else:
+                latent = None
+                q1, q2 = self._apply_critic(cp, batch["obs"], batch["pobs"],
+                                            batch["act"], dropout_key=k_crit)
             td = jnp.abs(q1 - target).mean(axis=1)  # per-sample TD error
             w = is_weights.reshape(-1, 1)
             l1 = jnp.mean(w * jnp.square(q1 - target))
             l2 = jnp.mean(w * jnp.square(q2 - target))
-            return l1 + l2, (l1, l2, td)
+            return l1 + l2, (l1, l2, td, latent)
 
-        (qf_loss, (qf1_loss, qf2_loss, td)), grads = jax.value_and_grad(
+        pre_critic = state.critic_params
+        (qf_loss, (qf1_loss, qf2_loss, td, latent)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.critic_params)
         grads = self._sync_grads(grads)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
@@ -550,8 +558,14 @@ class SACAgent:
             critic_params=optax.apply_updates(state.critic_params, updates),
             critic_opt=new_opt)
 
-        state, policy_loss, log_pi = self._actor_update(state, alpha, batch,
-                                                        k_act)
+        if self.latent_reuse:
+            state, policy_loss, log_pi = self._actor_update(
+                state, alpha, batch, k_act,
+                critic_latent=jax.lax.stop_gradient(latent),
+                critic_heads_params=pre_critic)
+        else:
+            state, policy_loss, log_pi = self._actor_update(state, alpha,
+                                                            batch, k_act)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {"qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
@@ -628,16 +642,24 @@ class SACAgent:
                                  noise_rows=merged_rows)
 
         def critic_loss_fn(cp):
-            q1, q2 = self._apply_critic(cp, merged["obs"], merged["pobs"],
-                                        merged["act"], dropout_key=k_crit)
+            if self.latent_reuse:
+                lat = self._apply_critic_trunk(cp, merged["obs"],
+                                               merged["pobs"],
+                                               dropout_key=k_crit)
+                q1, q2 = self._apply_critic_heads(cp, lat, merged["act"])
+            else:
+                lat = None
+                q1, q2 = self._apply_critic(cp, merged["obs"], merged["pobs"],
+                                            merged["act"], dropout_key=k_crit)
             td = jnp.abs(q1 - target).mean(axis=1)[:b]
             w = weights.reshape(-1, 1)
             denom = self._denom(jnp.sum(w) * q1.shape[1])
             l1 = jnp.sum(w * jnp.square(q1 - target)) / denom
             l2 = jnp.sum(w * jnp.square(q2 - target)) / denom
-            return l1 + l2, (l1, l2, td)
+            return l1 + l2, (l1, l2, td, lat)
 
-        (_, (qf1_loss, qf2_loss, td)), grads = jax.value_and_grad(
+        pre_critic = state.critic_params
+        (_, (qf1_loss, qf2_loss, td, latent)), grads = jax.value_and_grad(
             critic_loss_fn, has_aux=True)(state.critic_params)
         grads = self._sync_grads(grads)
         updates, new_opt = self.critic_tx.update(grads, state.critic_opt,
@@ -682,9 +704,13 @@ class SACAgent:
             return self.engage_weight * mse * has_engage
 
         extra = lambda ap: guidence_loss(ap) + engage_loss(ap)
+        reuse_kw = {}
+        if self.latent_reuse:
+            reuse_kw = dict(critic_latent=jax.lax.stop_gradient(latent),
+                            critic_heads_params=pre_critic)
         state, policy_loss, log_pi = self._actor_update(
             state, alpha, merged, k_act, weights=weights, extra_loss_fn=extra,
-            noise_rows=merged_rows)
+            noise_rows=merged_rows, **reuse_kw)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {

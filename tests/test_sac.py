@@ -376,3 +376,29 @@ def test_critic_latent_reuse_rejects_cnn_critic():
     })
     with pytest.raises(ValueError, match="critic_latent_reuse"):
         SACAgent(cfg)
+
+
+def test_critic_latent_reuse_equivalent_per_and_guided():
+    """Same frozen-critic equivalence for the PER and guided update flavors."""
+    batch = make_batch(jax.random.PRNGKey(17))
+    expert = {k: v for k, v in make_batch(jax.random.PRNGKey(18)).items()
+              if k != "engage"}
+    outs = {}
+    for reuse in (False, True):
+        agent = SACAgent(_reuse_cfg(reuse, lr_critic=0.0))
+        state = agent.init_state(seed=11)
+        s1, m1, td1 = agent.learn_per(state, batch, jnp.ones((B,)))
+        s2, m2 = agent.learn_guidence(s1, batch, expert, 2)
+        outs[reuse] = (
+            jax.tree_util.tree_map(np.asarray, s2.actor_params),
+            {**{f"per_{k}": v for k, v in m1.items()},
+             **{f"g_{k}": v for k, v in m2.items()}},
+            np.asarray(td1))
+    pa, ma, ta = outs[False]
+    pb, mb, tb = outs[True]
+    np.testing.assert_allclose(ta, tb, rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for k in ma:
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
