@@ -224,6 +224,35 @@ def _bench_extra():
                       "value": round(1.0 / dt_sm, 2), "unit": "updates/s",
                       "overhead_vs_unsharded": round(dt_sm / dt, 3)}))
 
+    # critic_latent_reuse opt-in (PARITY.md round 3): actor loss reuses the
+    # critic update's trunk latent (pre-update params) — one fewer GoT trunk
+    # forward per update; same scan harness as the parity row above
+    cfg_lr = Config()
+    cfg_lr.sac.critic_latent_reuse = True
+    agent_lr = SACAgent(cfg_lr, dtype=jnp.bfloat16)
+    state_lr = agent_lr.init_state(0)
+
+    @jax.jit
+    def lr_loop(state, batch):
+        def body(s, _):
+            s, m = agent_lr._train_step_impl(s, batch)
+            return s, m["qf1_loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n)
+        return s, losses.sum()
+
+    state_lr, v_lr = lr_loop(state_lr, batch)  # compile
+    float(v_lr)
+    best_lr = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_lr, v_lr = lr_loop(state_lr, batch)
+        float(v_lr)
+        best_lr = min(best_lr, time.perf_counter() - t0)
+    dt_lr = best_lr / n
+    print(json.dumps({"metric": "SAC updates/sec (critic_latent_reuse)",
+                      "value": round(1.0 / dt_lr, 2), "unit": "updates/s",
+                      "speedup_vs_parity": round(dt / dt_lr, 3)}))
+
     # BC epoch throughput (device-resident dataset: corpus moves to HBM once,
     # epochs gather shuffled batches on-device — agents/bc.py)
     from dgvit_tpu.agents.bc import BCTrainer
