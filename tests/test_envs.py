@@ -276,11 +276,12 @@ def test_default_records_bitexact_vs_scalar():
     from dgvit_tpu.envs.kinematic import default_records
     from dgvit_tpu.envs.worlds import HOSPITAL
 
-    # one seed per world flavor keeps this under ~10 s (the scalar oracle is
-    # the slow half); both acceptance-predicate variants are exercised
-    for world, seed in ((None, 0), (HOSPITAL, 7)):
-        fast = default_records(n=8, seed=seed, world=world)
-        slow = _scalar_default_records(n=8, seed=seed, world=world)
+    # one seed per world flavor; the scalar oracle's python check_pos loop
+    # dominates (RRC acceptance is low), so the RRC case uses a small n —
+    # every predicate path is crossed by the rejected candidates either way
+    for world, seed, n in ((None, 0, 3), (HOSPITAL, 7, 8)):
+        fast = default_records(n=n, seed=seed, world=world)
+        slow = _scalar_default_records(n=n, seed=seed, world=world)
         assert fast == slow
 
 

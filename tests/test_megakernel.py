@@ -74,8 +74,9 @@ def test_megakernel_odd_batch():
 
 def test_megakernel_gradient_correct():
     """A stray grad through the inference path must still be right (custom
-    vjp backed by the XLA twin)."""
-    got, params, img, goal = _setup()
+    vjp backed by the XLA twin). depth=1: the vjp wraps the whole trunk, so
+    one block covers it — grad compiles dominate this test's cost."""
+    got, params, img, goal = _setup(depth=1)
 
     def loss_composed(p, g):
         return jnp.sum(got.apply(p, img, g) ** 2)

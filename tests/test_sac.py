@@ -378,6 +378,7 @@ def test_critic_latent_reuse_rejects_cnn_critic():
         SACAgent(cfg)
 
 
+@pytest.mark.slow  # 4 extra agent compiles; plain-flavor gate stays fast
 def test_critic_latent_reuse_equivalent_per_and_guided():
     """Same frozen-critic equivalence for the PER and guided update flavors."""
     batch = make_batch(jax.random.PRNGKey(17))
