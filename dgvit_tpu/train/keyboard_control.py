@@ -64,3 +64,68 @@ class KeyboardTeleop:
         if key:
             self.update(key)
         return [self.linear, self.angular]
+
+
+def teleop_loop(env, teleop: KeyboardTeleop, max_steps: int = 10 ** 9,
+                key_source=None, log=print) -> int:
+    """Drive `env` from the keyboard — the reference's control_loop
+    (keyboard_control.py:62-117) with the env's step() standing in for the
+    /scout/cmd_vel publisher. `key_source() -> Optional[str]` is injectable
+    for tests; the default reads the raw tty. Returns steps driven."""
+    get_key = key_source or teleop._getch
+    env.reset()
+    steps = t = 0
+    try:
+        while steps < max_steps:
+            key = get_key()
+            if key == "\x03" or key == "q":
+                break
+            if key:
+                teleop.update(key)
+            r = env.step([teleop.linear, teleop.angular], t)
+            steps += 1
+            t += 1
+            state = "ENGAGED" if teleop.engaged else "idle"
+            log(f"[{state}] lin {teleop.linear:+.2f} ang "
+                f"{teleop.angular:+.2f} reward {r.reward:+7.1f} "
+                f"dist {float(r.to_goal[0]):.3f}")
+            if r.done:
+                env.reset()
+                t = 0
+    except KeyboardInterrupt:
+        pass
+    return steps
+
+
+def main(argv=None):
+    """Console entry — mirrors the reference's keyboard_control.py script
+    (setup.py:24-32): a raw-terminal teleop loop with the 0.5/0.6 clamps and
+    the engage('1')/disengage('2') intervention gate. Drives the kinematic
+    env by default; `--env ros2` drives a live robot through the ROS2
+    adapter (requires rclpy)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--env", choices=("kinematic", "ros2"), default="kinematic")
+    p.add_argument("--world", default="rrc")
+    p.add_argument("--max-steps", type=int, default=10 ** 9)
+    args = p.parse_args(argv)
+
+    if args.env == "ros2":
+        from dgvit_tpu.config import Config
+        from dgvit_tpu.envs.ros2_adapter import GazeboRos2Env
+        env = GazeboRos2Env(Config())
+    else:
+        from dgvit_tpu.envs import KinematicNavEnv
+        env = KinematicNavEnv(seed=0, world=args.world)
+
+    print("teleop: w/s linear  a/d angular  x stop  1 engage  2 disengage  "
+          "q quit")
+    teleop = KeyboardTeleop()
+    teleop_loop(env, teleop, max_steps=args.max_steps,
+                log=lambda s: print("\r" + s + "  ", end="", flush=True))
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ setup(
             "dgvit-imitate=dgvit_tpu.train.train_bc:main",
             "dgvit-demo=dgvit_tpu.train.demo_record:main",
             "dgvit-frames=dgvit_tpu.train.depth_image_tools:main",
+            "dgvit-teleop=dgvit_tpu.train.keyboard_control:main",
         ],
     },
 )

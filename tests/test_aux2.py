@@ -149,3 +149,29 @@ def test_teleop_satisfies_intervention_protocol():
     t = KeyboardTeleop()
     assert hasattr(t, "engaged")
     assert callable(t.read_action)
+
+
+def test_teleop_loop_drives_env_and_quits():
+    """teleop_loop (the dgvit-teleop console entry's core) drives the env
+    from an injectable key source, honors 'q' quit, and resets on done —
+    the reference's control_loop (keyboard_control.py:62-117) with env.step
+    standing in for the /scout/cmd_vel publisher."""
+    from dgvit_tpu.envs import KinematicNavEnv
+    from dgvit_tpu.train.keyboard_control import KeyboardTeleop, teleop_loop
+
+    keys = iter(["1", "w", "w", None, "a", "x", "q"])
+    lines = []
+    env = KinematicNavEnv(seed=0)
+    t = KeyboardTeleop()
+    steps = teleop_loop(env, t, max_steps=100,
+                        key_source=lambda: next(keys, "q"),
+                        log=lines.append)
+    assert steps == 6                       # 'q' consumed without a step
+    assert t.engaged                        # '1' engaged and stayed
+    assert any("ENGAGED" in ln for ln in lines)
+    assert t.linear == 0.0 and t.angular == 0.0   # 'x' stopped
+
+    # bounded run: max_steps caps the loop even with keys forever
+    steps = teleop_loop(env, KeyboardTeleop(), max_steps=3,
+                        key_source=lambda: "w", log=lambda s: None)
+    assert steps == 3
