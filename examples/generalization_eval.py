@@ -52,6 +52,10 @@ def main(argv=None):
                         "(anchor-early / specialize-late curriculum)")
     p.add_argument("--gw-decay-steps", type=int, default=0,
                    help="learn steps over which the gw decay completes")
+    p.add_argument("--per", action="store_true",
+                   help="prioritized replay for the fine-tune (IS-weighted "
+                        "loss + TD-error priorities; BENCH.md: +44%% goals "
+                        "from scratch)")
     p.add_argument("--expert-buffer", action="store_true",
                    help="reference PRE_BUFFER workflow: feed the recorded "
                         "demos to learn_guidence as the expert buffer")
@@ -120,6 +124,7 @@ def main(argv=None):
         cfg.sac.guidence_weight = args.guidence_weight
         cfg.sac.guidence_weight_final = args.gw_final
         cfg.sac.guidence_decay_steps = args.gw_decay_steps
+        cfg.sac.prioritized_replay = args.per
         cfg.sac.nan_guard = True   # amplified guidance losses can overflow a
                                    # bf16 update; roll back instead of dying
         expert_glob = None
@@ -135,7 +140,8 @@ def main(argv=None):
         hist_note = (f"alpha0={args.alpha_init} expert={args.expert_buffer} "
                      f"gw={args.guidence_weight}"
                      + (f"->{args.gw_final}@{args.gw_decay_steps}"
-                        if args.gw_final is not None else ""))
+                        if args.gw_final is not None else "")
+                     + (" per" if args.per else ""))
 
     # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
     results = {}
