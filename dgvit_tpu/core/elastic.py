@@ -55,9 +55,12 @@ class ElasticCheckpointer:
     """Periodic coordinated checkpoints with retention + resume.
 
     Multi-host protocol: every process reaches a barrier (so all shards of
-    the state are final), process 0 gathers and writes, everyone leaves
-    through a second barrier. Single-process (and the CPU test mesh) skips
-    the barriers."""
+    the state are final), every process gathers the full host tree and
+    enters the collective orbax save (array data is written by the primary
+    host only; orbax coordinates its own internal barriers), process 0
+    prunes, everyone leaves through a second barrier. Single-process (and
+    the CPU test mesh) skips the barriers. Exercised by a REAL two-process
+    Gloo job in tests/test_multiprocess.py."""
 
     def __init__(self, directory: str, interval: int = 50, keep: int = 3):
         assert interval >= 1
@@ -69,31 +72,51 @@ class ElasticCheckpointer:
     def _barrier(self, tag: str):
         import jax
 
-        if jax.process_count() > 1:  # pragma: no cover - needs real pod
+        if jax.process_count() > 1:  # pragma: no cover - subprocess-only
+            # exercised for real by tests/test_multiprocess.py (2-process
+            # Gloo job); pytest-cov cannot see into those subprocesses
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"dgvit-ckpt-{tag}")
 
     def _gather_host(self, state: Any) -> Any:
-        """Bring every leaf to host memory as a full array (handles sharded
-        leaves: fully-addressable ones via device_get; cross-host ones via
-        process_allgather)."""
+        """Bring every leaf to host memory as a full array.
+
+        Cross-process leaves (global jax.Arrays that are not fully
+        addressable — sharded OR replicated over a multi-process mesh) go
+        through `process_allgather(tiled=True)`, which returns the full
+        global value on every process. `tiled=False` (the old default here)
+        RAISES on such arrays — caught by the real two-process test
+        (tests/test_multiprocess.py), not reproducible single-process.
+        Host/numpy leaves are identical on every process by the replicated
+        train-state contract, so the local copy is the global value."""
         import jax
         import numpy as np
 
-        if jax.process_count() > 1:  # pragma: no cover - needs real pod
+        if jax.process_count() > 1:
             from jax.experimental import multihost_utils
-            return multihost_utils.process_allgather(state)
+
+            def leaf(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return multihost_utils.process_allgather(x, tiled=True)
+                return np.asarray(x)
+
+            return jax.tree_util.tree_map(leaf, state)
         return jax.tree_util.tree_map(np.asarray, state)
 
     # -- save/prune/resume ---------------------------------------------------
     def save(self, step: int, state: Any) -> Optional[str]:
+        """EVERY process must call this (collective). orbax's Checkpointer
+        runs its own cross-process barriers inside save() — a proc-0-only
+        call desynchronizes those barriers and crashes the job (observed:
+        'sync_global_devices name mismatch (Checkpointer:save_start)').
+        All processes therefore enter save_train_state with the same gathered
+        host tree; orbax writes array data from the primary host only."""
         import jax
 
         self._barrier(f"pre-{step}")
         host_state = self._gather_host(state)
-        path = None
+        path = save_train_state(self.directory, step, host_state)
         if jax.process_index() == 0:
-            path = save_train_state(self.directory, step, host_state)
             self._prune()
         self._barrier(f"post-{step}")
         return path
