@@ -160,8 +160,18 @@ def _report(cfg: Config, env: Env, cntr2: int, total_rel: int, durations,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="dgvit_tpu evaluation")
-    p.add_argument("--actor", required=True,
+    p.add_argument("--actor", default=None,
                    help="actor params npz (save_params_npz output)")
+    p.add_argument("--checkpoint", default=None,
+                   help="full train-state checkpoint: a step_N directory or "
+                        "a checkpoints/ dir (newest step is used). Evaluates "
+                        "the actor inside a train_rl periodic/elastic "
+                        "checkpoint without a separate npz export — the "
+                        "testing.py workflow on mid-run checkpoints")
+    p.add_argument("--platform", default=os.environ.get("DGVIT_PLATFORM"),
+                   help="force a jax backend (e.g. 'cpu'). Needed on hosts "
+                        "where a tunneled TPU backend is registered eagerly "
+                        "and the JAX_PLATFORMS env var is ignored")
     p.add_argument("--config", default=None)
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--out", default="results")
@@ -173,22 +183,37 @@ def main(argv=None):
                    help="run each episode as one jitted io_callback scan "
                         "(policy + action scaling on device; env on host)")
     args = p.parse_args(argv)
+    if bool(args.actor) == bool(args.checkpoint):
+        p.error("exactly one of --actor / --checkpoint is required")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
     env = KinematicNavEnv(seed=cfg.train.seed,
                           image_hw=tuple(cfg.model.image_size),
                           world=args.world)
-    actor = build_actor(cfg)
-    ih, iw = cfg.model.image_size
-    if cfg.model.patch_mode == "channels":
-        obs0 = np.zeros((1, cfg.env.frame_stack, ih, iw))
+    if args.checkpoint:
+        from dgvit_tpu.agents.sac import SACAgent
+        path = args.checkpoint
+        if not os.path.basename(os.path.normpath(path)).startswith("step_"):
+            path = ckpt.latest_checkpoint(path)
+            if path is None:
+                p.error(f"no step_* checkpoints under {args.checkpoint}")
+        state = ckpt.restore_train_state(
+            path, SACAgent(cfg).init_state(cfg.train.seed))
+        params, name = state.actor_params, os.path.basename(path)
     else:
-        obs0 = np.zeros((1, ih, iw))
-    template = actor.init(jax.random.PRNGKey(0), obs0,
-                          np.zeros((1, cfg.sac.pstate_dim)))["params"]
-    params = ckpt.load_params_npz(args.actor, template)
-    out = run_eval(cfg, env, params, args.episodes, args.out,
-                   os.path.basename(args.actor),
+        actor = build_actor(cfg)
+        ih, iw = cfg.model.image_size
+        if cfg.model.patch_mode == "channels":
+            obs0 = np.zeros((1, cfg.env.frame_stack, ih, iw))
+        else:
+            obs0 = np.zeros((1, ih, iw))
+        template = actor.init(jax.random.PRNGKey(0), obs0,
+                              np.zeros((1, cfg.sac.pstate_dim)))["params"]
+        params = ckpt.load_params_npz(args.actor, template)
+        name = os.path.basename(args.actor)
+    out = run_eval(cfg, env, params, args.episodes, args.out, name,
                    device_rollout_loop=args.device_rollout)
     print(f"success rate: {out['success_rate'] * 100:.1f}% "
           f"({out['successes']} goals), collisions: {out['collisions']}")

@@ -305,3 +305,36 @@ def test_prefetched_training_loop(tmp_path):
     out = train(cfg, env, out_dir=str(tmp_path), max_episodes=2)
     assert out["episodes"] >= 1
     assert np.isfinite(out["max_mean_reward"])
+
+
+def test_evaluate_cli_from_train_state_checkpoint(tmp_path):
+    """dgvit-test --checkpoint: evaluate the actor inside a train_rl
+    periodic/elastic checkpoint directly (no npz export step) — the
+    testing.py workflow applied to mid-run checkpoints."""
+    import yaml
+
+    from dgvit_tpu.train import evaluate
+
+    cfg = tiny_cfg(tmp_path, episodes=1)
+    cfg.env.max_steps = 10
+    env = KinematicNavEnv(seed=21, image_hw=(32, 40))
+    train(cfg, env, out_dir=str(tmp_path), max_episodes=1)
+    ckpt_dir = tmp_path / "checkpoints"
+    assert list(ckpt_dir.glob("step_*"))
+
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump(cfg.to_dict()))
+    out = tmp_path / "eval_out"
+    evaluate.main(["--checkpoint", str(ckpt_dir), "--config", str(cfg_yaml),
+                   "--episodes", "1", "--out", str(out)])
+    assert (out / "testing_data.txt").exists()
+
+    # a specific step_N path is accepted too
+    step = sorted(ckpt_dir.glob("step_*"))[0]
+    evaluate.main(["--checkpoint", str(step), "--config", str(cfg_yaml),
+                   "--episodes", "1", "--out", str(out)])
+
+    # --actor and --checkpoint are mutually exclusive
+    with pytest.raises(SystemExit):
+        evaluate.main(["--checkpoint", str(ckpt_dir), "--actor", "x.npz",
+                       "--config", str(cfg_yaml)])
