@@ -21,6 +21,23 @@ def _update_dataclass(obj, data: Dict[str, Any], path: str = ""):
         if dataclasses.is_dataclass(cur) and isinstance(val, dict):
             _update_dataclass(cur, val, path=path + key + ".")
         else:
+            # coerce scalars to the default's type so YAML sharp edges fail
+            # HERE, not episodes later inside the training loop. (YAML 1.1
+            # parses '1.0e9' as a STRING — the exponent needs a sign — so a
+            # float field can silently receive a str.)
+            if isinstance(cur, bool):
+                if not isinstance(val, bool):
+                    raise TypeError(
+                        f"config key {path + key!r}: expected bool, "
+                        f"got {type(val).__name__} {val!r}")
+            elif isinstance(cur, (int, float)) and not isinstance(val, bool):
+                try:
+                    val = type(cur)(val)
+                except (TypeError, ValueError):
+                    raise TypeError(
+                        f"config key {path + key!r}: expected "
+                        f"{type(cur).__name__}, got {type(val).__name__} "
+                        f"{val!r}") from None
             setattr(obj, key, val)
     return obj
 
@@ -185,6 +202,12 @@ class TrainConfig:
     save_threshold: float = 1.0
     reward_threshold: float = 90.0
     save: bool = True
+    # persist replay transitions next to each periodic checkpoint so an
+    # elastic restart resumes with a warm buffer instead of an empty one
+    # (cpprb save/load_transitions, DRL.py:505-510, made automatic). Off by
+    # default: a full-size reference buffer (30k x 128x160 f32 obs x2) is
+    # ~10 GB raw per snapshot — enable for small buffers / fast disks.
+    save_replay: bool = False
     pre_train: bool = True
     if_test: bool = False
     pre_buffer: bool = True

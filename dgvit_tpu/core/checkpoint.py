@@ -67,6 +67,25 @@ def prune_checkpoints(directory: str, keep: int = 3) -> int:
     return pruned
 
 
+def prune_step_files(directory: str, prefix: str, keep: int = 3) -> int:
+    """Delete all but the newest `keep` `{prefix}_<N>.npz` sidecar files
+    (e.g. replay snapshots riding alongside step_<N> checkpoints)."""
+    d = Path(directory)
+    if not d.exists():
+        return 0
+    found = []
+    for p in d.iterdir():
+        m = re.fullmatch(rf"{re.escape(prefix)}_(\d+)\.npz", p.name)
+        if m:
+            found.append((int(m.group(1)), p))
+    found.sort()
+    pruned = 0
+    for _, p in found[:-keep] if keep > 0 else found:
+        p.unlink(missing_ok=True)
+        pruned += 1
+    return pruned
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     d = Path(directory)
     if not d.exists():

@@ -150,10 +150,17 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         state = agent.load_target(state)
 
     ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
+    resumed_replay = None
     if resume:
         latest = ckpt.latest_checkpoint(ckpt_dir)
         if latest:
             state = ckpt.restore_train_state(latest, state)
+            # warm-buffer restart: a replay snapshot saved alongside this
+            # step (t.save_replay) is reloaded once the buffer exists below
+            snap = os.path.join(
+                ckpt_dir, f"replay_{os.path.basename(latest)}.npz")
+            if os.path.exists(snap):
+                resumed_replay = snap
 
     logger = MetricsLogger(out_dir, f"train_{cfg.model.name}_{t.desc}")
     curve = RewardCurve()
@@ -167,6 +174,10 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
     buf = buf_cls(
         s.buffer_size, reference_schema(obs_shape, s.action_dim, s.pstate_dim),
         seed=t.seed)
+    if resumed_replay:
+        # PER note: transitions reload through add(), so priorities reset to
+        # the max default (cpprb load_transitions semantics) and re-anneal
+        buf.load_transitions(resumed_replay)
 
     expert_buf = None
     expert_size = 0
@@ -357,9 +368,13 @@ def train(cfg: Config, env: Env, out_dir: str = "results",
         if (t.save and not t.if_test and t.save_interval
                 and ep_real % t.save_interval == 0):
             ckpt.save_train_state(ckpt_dir, int(state.itera), state)
+            if t.save_replay and buf.get_stored_size() > 0:
+                buf.save_transitions(os.path.join(
+                    ckpt_dir, f"replay_step_{int(state.itera)}"))
             # retention: keep only the newest few periodic checkpoints so
             # long runs don't accumulate unbounded step_* directories
             ckpt.prune_checkpoints(ckpt_dir, keep=3)
+            ckpt.prune_step_files(ckpt_dir, "replay_step", keep=3)
 
         # evaluation + checkpoint trigger (main.py:345-356)
         if (mean_r >= reward_threshold and ep_real > t.eval_threshold
@@ -421,10 +436,11 @@ def train_elastic(cfg: Config, env_factory, out_dir: str = "results",
     full-train-state checkpoint (params, targets, optimizers, alpha, step,
     RNG). Agent state resumes exactly; the episode counter restarts (RL
     episodes are not a deterministic data stream, unlike the offline
-    trainers, so there is nothing to replay). NOTE: the replay buffer is
-    NOT checkpointed — a restart resumes with an EMPTY buffer, and updates
-    pause until batch_size fresh transitions accumulate (persist the buffer
-    separately via replay.buffer save/load if a run cannot afford that)."""
+    trainers, so there is nothing to replay). Replay buffer across restarts:
+    EMPTY by default (updates pause until batch_size fresh transitions
+    accumulate); set cfg.train.save_replay=True to snapshot transitions next
+    to each periodic checkpoint and resume with a warm buffer (~10 GB raw
+    per snapshot at the full reference buffer size — see TrainConfig)."""
     import logging
 
     from dgvit_tpu.core.elastic import default_failure_types

@@ -43,3 +43,18 @@ def test_roundtrip_dict():
 def test_bad_value_rejected():
     with pytest.raises(AssertionError):
         Config.from_dict({"env": {"vis_sensor": "lidar"}})
+
+
+def test_yaml_scalar_coercion():
+    """YAML 1.1 parses '1.0e9' (no exponent sign) as a STRING; scalar config
+    fields coerce to the default's type at load so this repairs silently
+    instead of crashing episodes later inside the training loop."""
+    cfg = Config.from_dict({"train": {"reward_threshold": "1.0e9"},
+                            "sac": {"alpha": 1}})
+    assert cfg.train.reward_threshold == 1e9
+    assert isinstance(cfg.train.reward_threshold, float)
+    assert isinstance(cfg.sac.alpha, float)          # int -> float field
+    with pytest.raises(TypeError):
+        Config.from_dict({"train": {"save": "yes"}})  # bool stays strict
+    with pytest.raises(TypeError):
+        Config.from_dict({"sac": {"batch_size": "many"}})

@@ -338,3 +338,36 @@ def test_evaluate_cli_from_train_state_checkpoint(tmp_path):
     with pytest.raises(SystemExit):
         evaluate.main(["--checkpoint", str(ckpt_dir), "--actor", "x.npz",
                        "--config", str(cfg_yaml)])
+
+
+def test_save_replay_warm_buffer_resume(tmp_path):
+    """cfg.train.save_replay: periodic checkpoints snapshot the replay
+    buffer (cpprb save/load_transitions semantics, DRL.py:505-510) and a
+    resumed run starts with a WARM buffer instead of an empty one."""
+    from dgvit_tpu.train import train_rl as trl
+
+    cfg = tiny_cfg(tmp_path, episodes=2)
+    cfg.env.max_steps = 10
+    cfg.train.save_replay = True
+    cfg.train.save_interval = 1
+    env = KinematicNavEnv(seed=17, image_hw=(32, 40))
+    train(cfg, env, out_dir=str(tmp_path), max_episodes=2)
+    snaps = list((tmp_path / "checkpoints").glob("replay_step_*.npz"))
+    assert snaps, "replay snapshot not written"
+    # retention: snapshots pruned alongside step_* dirs
+    assert len(snaps) <= 3
+
+    seen = {}
+    orig = trl.ReplayBuffer.load_transitions
+
+    def spy(self, file):
+        orig(self, file)
+        seen["stored"] = self.get_stored_size()
+
+    trl.ReplayBuffer.load_transitions = spy
+    try:
+        env2 = KinematicNavEnv(seed=17, image_hw=(32, 40))
+        train(cfg, env2, out_dir=str(tmp_path), max_episodes=0, resume=True)
+    finally:
+        trl.ReplayBuffer.load_transitions = orig
+    assert seen.get("stored", 0) > 0, "resume did not reload transitions"
