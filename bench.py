@@ -362,11 +362,50 @@ def main():
     }))
 
 
+def _wait_for_backend(max_wait_s: float, interval_s: float = 60.0) -> bool:
+    """The tunneled TPU backend drops occasionally (observed mid-round-3:
+    'Unable to initialize backend axon: UNAVAILABLE' for hours). The driver
+    runs this file ONCE at round end, so a dead tunnel would record a crash
+    as the round's bench artifact. Probe in a SUBPROCESS (jax caches backend
+    init failures in-process, so an in-process retry can never recover) and
+    retry until the deadline. Disable with DGVIT_BENCH_WAIT_S=0."""
+    import os
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+             "assert float((x @ x).sum()) == 128.0 * 128 * 128")
+    deadline = time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            ok = subprocess.run([sys.executable, "-c", probe], timeout=150,
+                                capture_output=True,
+                                env=os.environ.copy()).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        if time.time() >= deadline:
+            print(json.dumps({"metric": "backend unavailable after wait",
+                              "value": 0, "unit": f"waited {max_wait_s}s"}))
+            return False
+        if first:
+            print(f"# backend unavailable, retrying up to {max_wait_s}s",
+                  file=sys.stderr, flush=True)
+            first = False
+        time.sleep(interval_s)
+
+
 if __name__ == "__main__":
     # Default run emits ALL BASELINE.json configs, one JSON line each, with
     # the headline LAST (the driver records the last line); --headline-only
     # skips the extras for quick checks. Extras failing must never mask the
     # headline.
+    import os
+
+    wait_s = float(os.environ.get("DGVIT_BENCH_WAIT_S", "1500"))
+    if wait_s > 0 and not _wait_for_backend(wait_s):
+        sys.exit(0)  # the JSON line above is the honest round artifact
     if "--headline-only" not in sys.argv:
         try:
             _bench_extra()
