@@ -24,6 +24,7 @@ setup(
             "dgvit-demo=dgvit_tpu.train.demo_record:main",
             "dgvit-frames=dgvit_tpu.train.depth_image_tools:main",
             "dgvit-teleop=dgvit_tpu.train.keyboard_control:main",
+            "dgvit-train-vec=dgvit_tpu.train.vec_rollout:main",
         ],
     },
 )
