@@ -1,11 +1,15 @@
-"""Host-loop vs on-device (io_callback) rollout throughput on the kinematic
-env — the BENCH row for the SURVEY §2.3 host-boundary commitment.
+"""Host-loop vs on-device (io_callback) vs pure-JAX vectorized rollout
+throughput on the kinematic env — the BENCH rows for the SURVEY §2.3
+host-boundary commitment and the envs/jax_kinematic.py capability.
 
 Host loop: one choose_action dispatch per step (reference main.py:369
 pattern — H2D image, D2H action, full Python dispatch each step, paying the
 tunnel RTT on this machine).
 Device loop: the whole episode is ONE jitted lax.scan; only env physics
 crosses the boundary via ordered io_callback (train/device_rollout.py).
+Vectorized: B pure-JAX envs + policy in one scan, ZERO host boundary
+(train/vec_rollout.VecCollector) — honest timing via a host scalar pull of
+the reward sum (the tunnel's block_until_ready lies; BENCH.md pitfalls).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_rollout.py
 """
@@ -32,6 +36,8 @@ from dgvit_tpu.train.device_rollout import device_rollout
 
 EPISODES = 5
 MAX_STEPS = 200
+VEC_B, VEC_T = 64, 64        # vectorized-arm lanes x chunk (TPU sizing)
+IMAGE_HW = (128, 160)
 
 
 def main():
@@ -45,17 +51,18 @@ def main():
     env = KinematicNavEnv(seed=11)
     key = jax.random.PRNGKey(0)
     # warm the choose_action compile outside the timed region
-    s0 = env.reset(0)
-    a = agent.choose_action(state, s0.state, np.asarray(s0.to_goal)[:2],
+    sq = lambda x: np.squeeze(x, -1) if x.ndim == 3 else x
+    s0 = env.reset()
+    a = agent.choose_action(state, sq(s0.state), np.asarray(s0.to_goal)[:2],
                             key, evaluate=True)
     np.asarray(a)
     steps = 0
     t0 = time.perf_counter()
     for ep in range(EPISODES):
-        s = env.reset(ep)
+        s = env.reset()
         for t in range(MAX_STEPS):
             a = np.asarray(agent.choose_action(
-                state, s.state, np.asarray(s.to_goal)[:2], key,
+                state, sq(s.state), np.asarray(s.to_goal)[:2], key,
                 evaluate=True))
             s = env.step([(float(a[0]) + 1) * l_s, float(a[1]) * a_s], t)
             steps += 1
@@ -85,6 +92,33 @@ def main():
                       "value": round(dev_sps, 1), "unit": "steps/s",
                       "steps": steps_d,
                       "speedup_vs_host_loop": round(dev_sps / host_sps, 2)}),
+          flush=True)
+
+    # ---- pure-JAX vectorized collection (zero host boundary) ---------------
+    from dgvit_tpu.envs.jax_kinematic import make_consts
+    from dgvit_tpu.train.vec_rollout import VecCollector
+
+    B, T = VEC_B, VEC_T
+    consts = make_consts(world="rrc", image_hw=IMAGE_HW,
+                         max_steps=MAX_STEPS, seed=11)
+    coll = VecCollector(agent, consts, B, T, l_s, a_s, evaluate=True)
+    carry = coll.init()
+    # warm compile + one chunk
+    carry, traj = coll.collect(state.actor_params, carry, jax.random.PRNGKey(0))
+    float(traj["rew"].sum())
+    n_chunks, tot = 4, 0.0
+    t0 = time.perf_counter()
+    for i in range(1, n_chunks + 1):
+        carry, traj = coll.collect(state.actor_params, carry,
+                                   jax.random.PRNGKey(i))
+        tot += float(traj["rew"].sum())   # host scalar pull = honest sync
+    vec_dt = time.perf_counter() - t0
+    vec_sps = B * T * n_chunks / vec_dt
+    print(json.dumps({"metric": "vectorized on-device env steps/s (kinematic)",
+                      "value": round(vec_sps, 1), "unit": "steps/s",
+                      "lanes": B, "chunk": T,
+                      "reward_sum": round(tot, 2),
+                      "speedup_vs_host_loop": round(vec_sps / host_sps, 2)}),
           flush=True)
 
 
