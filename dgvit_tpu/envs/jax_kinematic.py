@@ -206,10 +206,15 @@ def vec_reset(c: EnvConsts, batch: int):
     return state, obs, to_goal
 
 
-def vec_step(c: EnvConsts, s: VecState, action: jax.Array) -> VecStepOut:
+def vec_step(c: EnvConsts, s: VecState, action: jax.Array,
+             stride: Optional[int] = None) -> VecStepOut:
     """One batched env step with auto-reset. `action` is (B, 2) in COMMAND
-    units (post-scaling [v, w]), like Env.step (kinematic.py:237-258)."""
-    b = action.shape[0]
+    units (post-scaling [v, w]), like Env.step (kinematic.py:237-258).
+    `stride`: record-table advance on reset — defaults to the local lane
+    count; pass the GLOBAL lane count when lanes are sharded over a mesh
+    axis (parallel.shard.shardmap_collect) so sharded and unsharded lane
+    streams visit identical record sequences."""
+    b = int(stride) if stride is not None else action.shape[0]
     v, w = action[:, 0], action[:, 1]
     theta = jnp.arctan2(jnp.sin(s.theta + w * c.dt),
                         jnp.cos(s.theta + w * c.dt))

@@ -126,3 +126,58 @@ def shardmap_learn(agent: SACAgent, runtime: MeshRuntime,
             return step(state, batch, *args)
 
     return learn
+
+
+def shardmap_collect(agent: SACAgent, runtime: MeshRuntime, consts,
+                     batch: int, chunk: int, l_scale: float, a_scale: float,
+                     max_action: float = 1.0, evaluate: bool = False):
+    """DP-sharded on-device rollout collection: the pure-JAX vectorized env
+    (envs/jax_kinematic.py) + policy scan under shard_map, lanes over
+    `data`. Each device steps its local lanes; lanes are independent, so no
+    collectives at all — the scaling ceiling is one policy batch per device.
+
+    With a `grad_axis='data'` agent, the globally-indexed row noise makes
+    the sharded lane streams EXACTLY equal to the unsharded collector's (see
+    tests/test_jax_kinematic.py::test_shardmap_collect_matches_unsharded).
+
+    Returns (collect, init): `init() -> carry` builds the lane-sharded
+    carry; `collect(actor_params, carry, rng) -> (carry', traj)` with traj
+    arrays (chunk, batch, ...) sharded over lanes on dim 1."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dgvit_tpu.core.mesh import AXIS_DATA, use_mesh
+    from dgvit_tpu.envs.jax_kinematic import VecState, vec_reset
+    from dgvit_tpu.train.vec_rollout import make_collect_fn
+
+    assert agent.grad_axis == AXIS_DATA, (
+        "build the agent with SACAgent(cfg, grad_axis='data') so per-row "
+        "action noise is globally indexed across lane shards")
+    n_data = runtime.mesh.shape[AXIS_DATA]
+    assert batch % n_data == 0, (batch, n_data)
+    repl, laneP = P(), P(AXIS_DATA)
+    lane_state = VecState(*([laneP] * len(VecState._fields)))
+    carry_spec = (lane_state, laneP, laneP)
+    traj_spec = {k: P(None, AXIS_DATA) for k in
+                 ("obs", "act", "pobs", "next_pobs", "rew", "next_obs",
+                  "done", "store", "target", "collided")}
+
+    # stride=batch: sharded lanes must advance the record table by the
+    # GLOBAL lane count on auto-reset, as the unsharded collector does
+    fn = make_collect_fn(agent, consts, chunk, l_scale, a_scale,
+                         max_action=max_action, evaluate=evaluate,
+                         stride=batch)
+    sharded = shard_map(fn, mesh=runtime.mesh,
+                        in_specs=(repl, carry_spec, repl),
+                        out_specs=(carry_spec, traj_spec), check_vma=False)
+    step = jax.jit(sharded)
+
+    def init():
+        state, obs, goal = vec_reset(consts, batch)
+        return state, obs, goal
+
+    def collect(actor_params, carry, rng):
+        with use_mesh(runtime.mesh):
+            return step(actor_params, carry, rng)
+
+    return collect, init

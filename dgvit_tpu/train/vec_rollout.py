@@ -45,6 +45,43 @@ from dgvit_tpu.replay.buffer import (PrioritizedReplayBuffer, ReplayBuffer,
 from dgvit_tpu.utils.metrics import MetricsLogger
 
 
+def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
+                    l_scale: float, a_scale: float, max_action: float = 1.0,
+                    evaluate: bool = False, stride: Optional[int] = None):
+    """Pure (actor_params, carry, rng) -> (carry', traj) rollout scan —
+    jitted directly by VecCollector, or wrapped in shard_map with lanes over
+    the `data` axis (parallel.shard.shardmap_collect). With a
+    `grad_axis='data'` agent, the per-row globally-indexed action noise
+    (sac._row_noise_draw) makes the sharded collection reproduce the
+    unsharded lane stream exactly."""
+
+    def _collect(actor_params, carry, rng):
+        def body(c, t):
+            state, obs, goal = c
+            key = jax.random.fold_in(rng, t)
+            a = agent._act_impl(actor_params, key, obs, goal[:, :2],
+                                evaluate, False)
+            a = jnp.clip(a, -max_action, max_action)
+            a_in = jnp.stack([(a[:, 0] + 1.0) * l_scale,
+                              a[:, 1] * a_scale], axis=1)
+            first = state.steps == 0
+            out = vec_step(consts, state, a_in, stride=stride)
+            trans = {
+                "obs": obs, "act": a, "pobs": goal[:, :2],
+                "next_pobs": out.next_to_goal[:, :2],
+                "rew": out.reward, "next_obs": out.next_obs,
+                "done": out.done.astype(jnp.float32),
+                "store": ~first,
+                "target": out.target & ~first,
+                "collided": out.collided & ~first,
+            }
+            return (out.state, out.obs, out.to_goal), trans
+
+        return jax.lax.scan(body, carry, jnp.arange(chunk))
+
+    return _collect
+
+
 class VecCollector:
     """B-lane, T-step jitted rollout collector.
 
@@ -59,32 +96,9 @@ class VecCollector:
         self.consts = consts
         self.batch = int(batch)
         self.chunk = int(chunk)
-
-        def _collect(actor_params, carry, rng):
-            def body(c, t):
-                state, obs, goal = c
-                key = jax.random.fold_in(rng, t)
-                a = agent._act_impl(actor_params, key, obs, goal[:, :2],
-                                    evaluate, False)
-                a = jnp.clip(a, -max_action, max_action)
-                a_in = jnp.stack([(a[:, 0] + 1.0) * l_scale,
-                                  a[:, 1] * a_scale], axis=1)
-                first = state.steps == 0
-                out = vec_step(consts, state, a_in)
-                trans = {
-                    "obs": obs, "act": a, "pobs": goal[:, :2],
-                    "next_pobs": out.next_to_goal[:, :2],
-                    "rew": out.reward, "next_obs": out.next_obs,
-                    "done": out.done.astype(jnp.float32),
-                    "store": ~first,
-                    "target": out.target & ~first,
-                    "collided": out.collided & ~first,
-                }
-                return (out.state, out.obs, out.to_goal), trans
-
-            return jax.lax.scan(body, carry, jnp.arange(self.chunk))
-
-        self._collect = jax.jit(_collect)
+        self._collect = jax.jit(make_collect_fn(
+            agent, consts, self.chunk, l_scale, a_scale,
+            max_action=max_action, evaluate=evaluate))
 
     def init(self) -> Tuple:
         state, obs, goal = vec_reset(self.consts, self.batch)

@@ -1,0 +1,73 @@
+"""Fully-fused on-device training loop: ring semantics + end-to-end rounds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgvit_tpu.config import Config
+from dgvit_tpu.train.fused_train import (ring_init, ring_sample, ring_write,
+                                         train_fused)
+
+
+def test_ring_wraparound_and_sampling():
+    ring = ring_init(8, (4, 5), pdim=2)
+    mk = lambda n, base: {
+        "obs": np.full((n, 4, 5), base, np.float32),
+        "act": np.full((n, 2), base, np.float32),
+        "pobs": np.zeros((n, 2), np.float32),
+        "next_pobs": np.zeros((n, 2), np.float32),
+        "rew": np.arange(base, base + n, dtype=np.float32),
+        "next_obs": np.zeros((n, 4, 5), np.float32),
+        "done": np.zeros((n,), np.float32),
+    }
+    ring = ring_write(ring, {k: jnp.asarray(v) for k, v in mk(6, 0).items()})
+    assert int(ring.cursor) == 6
+    # second write wraps: rows 6,7 then 0,1
+    ring = ring_write(ring, {k: jnp.asarray(v) for k, v in mk(4, 10).items()})
+    assert int(ring.cursor) == 10
+    rews = np.asarray(ring.rew)
+    np.testing.assert_allclose(rews[6:8], [10, 11])
+    np.testing.assert_allclose(rews[0:2], [12, 13])   # wrapped
+    np.testing.assert_allclose(rews[2:6], [2, 3, 4, 5])  # untouched middle
+
+    batch = ring_sample(ring, jax.random.PRNGKey(0), 16)
+    assert batch["rew"].shape == (16, 1)
+    assert batch["done"].shape == (16, 1)
+    assert batch["obs"].shape == (16, 4, 5)
+    # all sampled rewards are values actually present in the ring
+    assert np.isin(np.asarray(batch["rew"])[:, 0], rews).all()
+
+
+def test_sample_respects_partial_fill():
+    ring = ring_init(64, (4, 5))
+    rows = {
+        "obs": jnp.ones((3, 4, 5)), "act": jnp.ones((3, 2)),
+        "pobs": jnp.zeros((3, 2)), "next_pobs": jnp.zeros((3, 2)),
+        "rew": jnp.asarray([7.0, 8.0, 9.0]), "next_obs": jnp.ones((3, 4, 5)),
+        "done": jnp.zeros((3,)),
+    }
+    ring = ring_write(ring, rows)
+    batch = ring_sample(ring, jax.random.PRNGKey(1), 32)
+    # only the 3 valid rows may appear — never the zero-initialized tail
+    assert np.isin(np.asarray(batch["rew"])[:, 0], [7.0, 8.0, 9.0]).all()
+
+
+@pytest.mark.slow
+def test_train_fused_end_to_end(tmp_path):
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 10},
+        "train": {"pre_buffer": False, "pre_train": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                      rounds=4, rounds_per_dispatch=2, updates_per_round=2,
+                      ring_capacity=64)
+    assert out["rounds"] == 4
+    assert out["env_steps"] == 4 * 2 * 6
+    # first round fills the ring past batch_size, so >= 3 rounds update
+    assert out["updates"] >= 6
+    assert list(tmp_path.glob("train_fused_*.jsonl"))
+    assert list((tmp_path / "checkpoints").glob("step_*"))

