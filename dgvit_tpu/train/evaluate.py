@@ -142,6 +142,76 @@ def _run_eval_device(cfg: Config, env: Env, actor_params, max_episodes: int,
     return _report(cfg, env, cntr2, total_rel, durations, out_dir, name)
 
 
+def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
+                 world: str = "rrc", out_dir: str = "results",
+                 name: str = "model") -> dict:
+    """All eval episodes at once: lanes = episodes on the pure-JAX
+    vectorized kinematic env (envs/jax_kinematic.py), the whole protocol ONE
+    jitted scan dispatch (vs one dispatch per step in the host loop — on a
+    tunneled backend this is the difference between seconds and hours).
+
+    Matches run_eval semantics per lane: deterministic actions, bad-init
+    exclusion (testing.py:117-121), success/collision latched at the FIRST
+    episode end, durations in simulated seconds. Lane i runs record i mod
+    n_records (the host loop cycles the same table sequentially)."""
+    import jax.numpy as jnp
+
+    from dgvit_tpu.agents import SACAgent
+    from dgvit_tpu.envs.jax_kinematic import make_consts, vec_reset, vec_step
+
+    if cfg.model.patch_mode == "channels":
+        raise ValueError("--vec-eval does not support frame-stacked "
+                         "(channels-mode) actors; use the host loop")
+    e = cfg.env
+    agent = SACAgent(cfg)
+    consts = make_consts(world=world, image_hw=tuple(cfg.model.image_size),
+                         max_steps=e.max_steps, seed=cfg.train.seed)
+    dt = float(consts.dt)
+
+    @jax.jit
+    def run(params, rng):
+        state, obs, goal = vec_reset(consts, max_episodes)
+        b = max_episodes
+        f = jnp.zeros(b, bool)
+        init = (state, obs, goal, f, f, f, jnp.zeros(b), f)
+
+        def body(c, t):
+            state, obs, goal, ended, succ, coll, dur, bad = c
+            key = jax.random.fold_in(rng, t)
+            a = agent._act_impl(params, key, obs, goal[:, :2], True, False)
+            a = jnp.clip(a, -e.max_action, e.max_action)
+            a_in = jnp.stack([(a[:, 0] + 1.0) * e.linear_cmd_scale,
+                              a[:, 1] * e.angular_cmd_scale], axis=1)
+            a_in = jnp.where(ended[:, None], 0.0, a_in)
+            out = vec_step(consts, state, a_in)
+            bad = bad | ((t == 0) & out.done)
+            live = ~ended & ~bad
+            hit = out.target & live
+            succ = succ | hit
+            dur = jnp.where(hit, (t + 1.0) * dt, dur)
+            coll = coll | (out.collided & live)
+            ended = ended | out.done | out.truncated | bad
+            return (out.state, out.obs, out.to_goal, ended, succ, coll,
+                    dur, bad), None
+
+        (state, obs, goal, ended, succ, coll, dur, bad), _ = jax.lax.scan(
+            body, init, jnp.arange(e.max_steps))
+        return succ, coll, dur, bad
+
+    succ, coll, dur, bad = run(actor_params,
+                               jax.random.PRNGKey(cfg.train.seed))
+    succ, coll, dur, bad = (np.asarray(succ), np.asarray(coll),
+                            np.asarray(dur), np.asarray(bad))
+    total_rel = int(max_episodes - bad.sum())
+    cntr2 = int(succ.sum())
+    durations = [float(d) for d in dur[succ]]
+
+    class _C:  # collision count carrier for _report
+        collision = int(coll.sum())
+
+    return _report(cfg, _C(), cntr2, total_rel, durations, out_dir, name)
+
+
 def _report(cfg: Config, env: Env, cntr2: int, total_rel: int, durations,
             out_dir: str, name: str) -> dict:
     e = cfg.env
@@ -182,6 +252,10 @@ def main(argv=None):
     p.add_argument("--device-rollout", action="store_true",
                    help="run each episode as one jitted io_callback scan "
                         "(policy + action scaling on device; env on host)")
+    p.add_argument("--vec-eval", action="store_true",
+                   help="run ALL episodes at once as lanes of the pure-JAX "
+                        "vectorized kinematic env — the whole protocol is "
+                        "one device dispatch (envs/jax_kinematic.py)")
     args = p.parse_args(argv)
     if bool(args.actor) == bool(args.checkpoint):
         p.error("exactly one of --actor / --checkpoint is required")
@@ -213,8 +287,12 @@ def main(argv=None):
                               np.zeros((1, cfg.sac.pstate_dim)))["params"]
         params = ckpt.load_params_npz(args.actor, template)
         name = os.path.basename(args.actor)
-    out = run_eval(cfg, env, params, args.episodes, args.out, name,
-                   device_rollout_loop=args.device_rollout)
+    if args.vec_eval:
+        out = run_eval_vec(cfg, params, args.episodes, args.world,
+                           args.out, name)
+    else:
+        out = run_eval(cfg, env, params, args.episodes, args.out, name,
+                       device_rollout_loop=args.device_rollout)
     print(f"success rate: {out['success_rate'] * 100:.1f}% "
           f"({out['successes']} goals), collisions: {out['collisions']}")
 

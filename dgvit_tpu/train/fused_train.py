@@ -126,7 +126,10 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                 return st2, m
             ks = jax.random.split(k_upd, updates_per_round)
             st2, ms = jax.lax.scan(upd, st, ks)
-            return st2, jax.tree_util.tree_map(lambda x: x[-1], ms)
+            # f32 regardless of the agent's compute dtype, so both cond
+            # branches (and the stats pytree) have one stable type
+            return st2, jax.tree_util.tree_map(
+                lambda x: x[-1].astype(jnp.float32), ms)
 
         def no_updates(st):
             zero = {k: jnp.float32(0.0) for k in
@@ -221,3 +224,33 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     return {"rounds": done_rounds, "env_steps": done_rounds * n_envs * chunk,
             "goals": goals, "collisions": collisions,
             "updates": int(state.itera), "state": state}
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="dgvit_tpu fully-fused on-device RL training")
+    p.add_argument("--config", default=None)
+    p.add_argument("--out", default="results")
+    p.add_argument("--n-envs", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--rounds", type=int, default=100)
+    p.add_argument("--rounds-per-dispatch", type=int, default=10)
+    p.add_argument("--updates-per-round", type=int, default=None)
+    p.add_argument("--ring-capacity", type=int, default=None)
+    p.add_argument("--world", default="rrc")
+    args = p.parse_args(argv)
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,
+                      chunk=args.chunk, rounds=args.rounds,
+                      rounds_per_dispatch=args.rounds_per_dispatch,
+                      updates_per_round=args.updates_per_round,
+                      ring_capacity=args.ring_capacity, world=args.world)
+    print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
+          f"goals: {out['goals']}  collisions: {out['collisions']}  "
+          f"updates: {out['updates']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

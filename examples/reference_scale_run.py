@@ -31,11 +31,16 @@ def main(argv=None):
                    help="testing.py:46 protocol evaluates 100 episodes")
     p.add_argument("--out", default="results/ref_scale")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--host-eval", action="store_true",
+                   help="final eval via the per-step host loop instead of "
+                        "the single-dispatch vectorized eval (run_eval_vec; "
+                        "fp32 env — equality-gated vs the host loop in "
+                        "tests/test_jax_kinematic.py)")
     args = p.parse_args(argv)
 
     from dgvit_tpu.config import Config
     from dgvit_tpu.envs import KinematicNavEnv
-    from dgvit_tpu.train.evaluate import run_eval
+    from dgvit_tpu.train.evaluate import run_eval, run_eval_vec
     from dgvit_tpu.train.train_rl import train
 
     cfg = Config()                      # reference defaults: 800x800, batch 32
@@ -48,6 +53,10 @@ def main(argv=None):
     cfg.train.eval_threshold = 10 ** 9  # no mid-train eval pauses
     cfg.train.reward_threshold = 10 ** 9
     cfg.train.save_interval = 40    # bounded loss on interruption + --resume
+    # tunnel drops of hours were observed mid-round; snapshot the replay
+    # buffer next to each periodic checkpoint so a --resume restart keeps a
+    # warm buffer (compressed npz; the synthetic depth frames compress well)
+    cfg.train.save_replay = True
     cfg.train.desc = "ref_scale_per"
 
     env = KinematicNavEnv(seed=3407)    # reference SEED (config.yaml:7)
@@ -59,10 +68,18 @@ def main(argv=None):
           f"in {train_wall / 3600:.2f} h, max mean reward "
           f"{res['max_mean_reward']:.1f}", flush=True)
 
-    ev = KinematicNavEnv(seed=7)
-    r = run_eval(cfg, ev, res["state"].actor_params,
-                 max_episodes=args.eval_episodes, out_dir=args.out,
-                 name="ref_scale_eval")
+    if args.host_eval:
+        ev = KinematicNavEnv(seed=7)
+        r = run_eval(cfg, ev, res["state"].actor_params,
+                     max_episodes=args.eval_episodes, out_dir=args.out,
+                     name="ref_scale_eval")
+    else:
+        # one device dispatch for the whole protocol — on the tunneled
+        # backend the per-step host loop would cost hours
+        cfg.train.seed = 7  # eval record table seed (matches the old env)
+        r = run_eval_vec(cfg, res["state"].actor_params,
+                         max_episodes=args.eval_episodes, world="rrc",
+                         out_dir=args.out, name="ref_scale_eval")
     summary = {
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],

@@ -25,6 +25,7 @@ setup(
             "dgvit-frames=dgvit_tpu.train.depth_image_tools:main",
             "dgvit-teleop=dgvit_tpu.train.keyboard_control:main",
             "dgvit-train-vec=dgvit_tpu.train.vec_rollout:main",
+            "dgvit-train-fused=dgvit_tpu.train.fused_train:main",
         ],
     },
 )

@@ -127,6 +127,36 @@ def test_lanes_are_independent():
 
 
 @pytest.mark.slow
+def test_vec_eval_matches_host_eval(tmp_path):
+    """run_eval_vec (all episodes as lanes, one dispatch) agrees with the
+    host-loop run_eval on the same records and deterministic actor (fp32 env
+    vs float64 host env: allow one borderline episode to differ)."""
+    import jax
+
+    from dgvit_tpu.models import build_actor
+    from dgvit_tpu.train.evaluate import run_eval, run_eval_vec
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "env": {"max_steps": 30},
+    })
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(3), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    n = 8
+    env = KinematicNavEnv(seed=cfg.train.seed, image_hw=(32, 40), world="rrc")
+    env.records = env.records[:n]
+    host = run_eval(cfg, env, params, max_episodes=n,
+                    out_dir=str(tmp_path / "h"), name="m")
+    vec = run_eval_vec(cfg, params, max_episodes=n, world="rrc",
+                       out_dir=str(tmp_path / "v"), name="m")
+    assert abs(host["successes"] - vec["successes"]) <= 1
+    assert abs(host["collisions"] - vec["collisions"]) <= 1
+    assert (tmp_path / "v" / "testing_data.txt").exists()
+
+
+@pytest.mark.slow
 def test_shardmap_collect_matches_unsharded():
     """Lane-sharded collection over the 8-device data axis reproduces the
     unsharded collector exactly (globally-indexed row noise + global record

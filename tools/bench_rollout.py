@@ -38,6 +38,8 @@ EPISODES = 5
 MAX_STEPS = 200
 VEC_B, VEC_T = 64, 64        # vectorized-arm lanes x chunk (TPU sizing)
 IMAGE_HW = (128, 160)
+FUSED_B, FUSED_T, FUSED_U = 16, 32, 32   # fused-arm lanes/chunk/updates
+FUSED_CAP = 4096
 
 
 def main():
@@ -120,6 +122,43 @@ def main():
                       "reward_sum": round(tot, 2),
                       "speedup_vs_host_loop": round(vec_sps / host_sps, 2)}),
           flush=True)
+
+    # ---- fully-fused training rounds (collect + ring + updates on device) --
+    from dgvit_tpu.envs.jax_kinematic import make_consts as mk_consts
+    from dgvit_tpu.envs.jax_kinematic import vec_reset
+    from dgvit_tpu.train.fused_train import make_fused_round, ring_init
+
+    cfg_f = Config()
+    cfg_f.model.compute_dtype = "bfloat16"
+    agent_f = SACAgent(cfg_f, dtype=jnp.bfloat16)
+    state_f = agent_f.init_state(0)
+    FB, FT, FU = FUSED_B, FUSED_T, FUSED_U
+    consts_f = mk_consts(world="rrc", image_hw=IMAGE_HW,
+                         max_steps=MAX_STEPS, seed=11)
+    run = make_fused_round(agent_f, consts_f, FB, FT, FU,
+                           cfg_f.sac.batch_size, l_s, a_s)
+    env_carry = vec_reset(consts_f, FB)
+    ring = ring_init(FUSED_CAP, IMAGE_HW, pdim=cfg_f.sac.pstate_dim)
+    rng = jax.random.PRNGKey(3)
+    # warm compile + one segment
+    state_f, env_carry, ring, stats = run(state_f, env_carry, ring, rng,
+                                          jnp.arange(1))
+    float(np.asarray(stats["reward_sum"]).sum())
+    n_rounds = 3
+    t0 = time.perf_counter()
+    state_f, env_carry, ring, stats = run(state_f, env_carry, ring,
+                                          jax.random.PRNGKey(4),
+                                          jnp.arange(n_rounds))
+    float(np.asarray(stats["reward_sum"]).sum())  # honest host pull
+    fused_dt = time.perf_counter() - t0
+    per_round = fused_dt / n_rounds
+    print(json.dumps({
+        "metric": "fused on-device training round (collect+ring+updates)",
+        "value": round(per_round * 1e3, 1), "unit": "ms/round",
+        "lanes": FB, "chunk": FT, "updates_per_round": FU,
+        "batch": cfg_f.sac.batch_size,
+        "env_steps_per_s": round(FB * FT * n_rounds / fused_dt, 1),
+        "updates_per_s": round(FU * n_rounds / fused_dt, 1)}), flush=True)
 
 
 if __name__ == "__main__":
