@@ -30,6 +30,7 @@ remains train_rl):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -151,7 +152,9 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
         }
         return (state, env_carry, ring2, rng), stats
 
-    @jax.jit
+    # donate state + ring: the ring alone is ~1.3 GB at cap 8192 / 128x160 —
+    # without aliasing every dispatch would hold two copies
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run(state: SACTrainState, env_carry, ring: DeviceRing,
             rng: jax.Array, rounds_arr: jax.Array):
         (state, env_carry, ring, rng), stats = jax.lax.scan(
