@@ -181,3 +181,67 @@ def shardmap_collect(agent: SACAgent, runtime: MeshRuntime, consts,
             return step(actor_params, carry, rng)
 
     return collect, init
+
+
+def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
+                         n_envs: int, chunk: int, updates_per_round: int,
+                         batch_size: int, ring_capacity: int,
+                         l_scale: float, a_scale: float,
+                         max_action: float = 1.0):
+    """The ENTIRE fused training loop (train/fused_train.py: collect ->
+    replay ring -> SAC updates) under the device mesh — distributed RL with
+    zero host involvement per round.
+
+    Layout: lanes AND replay-ring rows sharded over `data` (each device
+    keeps the transitions its own lanes produced — the standard sharded-
+    replay design), params/opt state replicated, gradients pmean'd inside
+    the update (grad_axis), traj stats psum'd. Each device samples its
+    batch_size/n_data minibatch rows from its LOCAL ring shard: the global
+    batch is uniform over the union, but a given device's rows never mix
+    into another's — a documented deviation from single-device uniform
+    sampling (exact equality is impossible here; lane independence and the
+    update math are equality-gated separately).
+
+    Returns (run, init): run(state, env_carry, ring, rng, rounds_arr) — one
+    jitted dispatch for R rounds; init() -> (env_carry, ring) global-shaped.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dgvit_tpu.core.mesh import AXIS_DATA, use_mesh
+    from dgvit_tpu.envs.jax_kinematic import VecState, vec_reset
+    from dgvit_tpu.train.fused_train import (DeviceRing, make_fused_round,
+                                             ring_init)
+
+    assert agent.grad_axis == AXIS_DATA
+    n_data = runtime.mesh.shape[AXIS_DATA]
+    assert n_envs % n_data == 0 and batch_size % n_data == 0 \
+        and ring_capacity % n_data == 0, (n_envs, batch_size, ring_capacity)
+
+    run_local = make_fused_round(
+        agent, consts, n_envs // n_data, chunk,
+        updates_per_round, batch_size // n_data,
+        l_scale, a_scale, max_action=max_action, raw=True, stride=n_envs)
+
+    repl, laneP = P(), P(AXIS_DATA)
+    carry_spec = (VecState(*([laneP] * len(VecState._fields))), laneP, laneP)
+    ring_spec = DeviceRing(obs=laneP, act=laneP, pobs=laneP, next_pobs=laneP,
+                           rew=laneP, next_obs=laneP, done=laneP, cursor=repl)
+    stats_spec = repl  # psum'd/pmean'd inside -> identical on every device
+
+    sharded = shard_map(
+        run_local, mesh=runtime.mesh,
+        in_specs=(repl, carry_spec, ring_spec, repl, repl),
+        out_specs=(repl, carry_spec, ring_spec, stats_spec),
+        check_vma=False)
+    step = jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+    def init(hw, pdim: int = 2):
+        env_carry = vec_reset(consts, n_envs)
+        return env_carry, ring_init(ring_capacity, hw, pdim=pdim)
+
+    def run(state, env_carry, ring, rng, rounds_arr):
+        with use_mesh(runtime.mesh):
+            return step(state, env_carry, ring, rng, rounds_arr)
+
+    return run, init

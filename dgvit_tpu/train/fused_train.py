@@ -101,12 +101,19 @@ def ring_sample(ring: DeviceRing, key: jax.Array, batch: int) -> Dict:
 def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      chunk: int, updates_per_round: int, batch_size: int,
                      l_scale: float, a_scale: float,
-                     max_action: float = 1.0):
+                     max_action: float = 1.0, raw: bool = False,
+                     stride: Optional[int] = None):
     """Build `run(state, env_carry, ring, rng, rounds)`: R rounds of
     [collect chunk -> ring write -> U updates] as ONE jitted dispatch.
-    Returns (state, env_carry, ring, stats) with stats arrays shaped (R,)."""
+    Returns (state, env_carry, ring, stats) with stats arrays shaped (R,).
+
+    With a `grad_axis` agent the round is shard_map-ready (`raw=True` skips
+    the jit so parallel.shard.shardmap_fused_round can wrap it): n_envs /
+    batch_size / ring capacity are then PER-DEVICE, traj-derived stats are
+    psum'd over the axis, and `stride` carries the GLOBAL lane count for
+    record striding."""
     collect = make_collect_fn(agent, consts, chunk, l_scale, a_scale,
-                              max_action=max_action)
+                              max_action=max_action, stride=stride)
 
     def round_body(carry, _):
         state, env_carry, ring, rng = carry
@@ -148,20 +155,27 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
             "collisions": traj["collided"].sum().astype(jnp.int32),
             "episodes": traj["done"].sum().astype(jnp.int32),
             "buffer": size,
-            **metrics,
         }
+        if agent.grad_axis is not None:
+            # under shard_map each device sees only its lanes/ring shard;
+            # report mesh-global stats (metrics are already pmean'd by
+            # the agent's _sync_mean)
+            stats = {k: jax.lax.psum(v, agent.grad_axis)
+                     for k, v in stats.items()}
+        stats.update(metrics)
         return (state, env_carry, ring2, rng), stats
 
-    # donate state + ring: the ring alone is ~1.3 GB at cap 8192 / 128x160 —
-    # without aliasing every dispatch would hold two copies
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run(state: SACTrainState, env_carry, ring: DeviceRing,
             rng: jax.Array, rounds_arr: jax.Array):
         (state, env_carry, ring, rng), stats = jax.lax.scan(
             round_body, (state, env_carry, ring, rng), rounds_arr)
         return state, env_carry, ring, stats
 
-    return run
+    if raw:
+        return run
+    # donate state + ring: the ring alone is ~1.3 GB at cap 8192 / 128x160 —
+    # without aliasing every dispatch would hold two copies
+    return partial(jax.jit, donate_argnums=(0, 1, 2))(run)
 
 
 def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,

@@ -54,6 +54,45 @@ def test_sample_respects_partial_fill():
 
 
 @pytest.mark.slow
+def test_shardmap_fused_round():
+    """The ENTIRE fused loop (collect -> sharded replay ring -> pmean'd
+    updates) under the 8-device data mesh: distributed RL training with zero
+    host involvement per round."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dgvit_tpu.agents.sac import SACAgent
+    from dgvit_tpu.core.mesh import MeshRuntime
+    from dgvit_tpu.envs.jax_kinematic import make_consts
+    from dgvit_tpu.parallel.shard import shardmap_fused_round
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 8},
+    })
+    agent = SACAgent(cfg, grad_axis="data")
+    consts = make_consts(world="rrc", image_hw=(32, 40), max_steps=6)
+    run, init = shardmap_fused_round(
+        agent, MeshRuntime.create(data=8), consts, n_envs=8, chunk=6,
+        updates_per_round=2, batch_size=8, ring_capacity=128,
+        l_scale=0.25, a_scale=1.0)
+    state = agent.init_state(0)
+    env_carry, ring = init((32, 40))
+    state, env_carry, ring, stats = run(state, env_carry, ring,
+                                        jax.random.PRNGKey(0),
+                                        jnp.arange(3))
+    # 1 lane/device x 6 steps/round fills each local ring past the local
+    # batch (1) in round 1 -> 2 updates per round from the start
+    assert int(state.itera) == 6
+    host = {k: np.asarray(v) for k, v in stats.items()}
+    for k in ("qf1_loss", "policy_loss", "alpha", "reward_sum"):
+        assert np.isfinite(host[k]).all(), k
+    # buffer stat is mesh-global: 8 devices x 6 rows after round 1
+    assert int(host["buffer"][0]) == 48
+    assert int(host["buffer"][2]) == 8 * min(18, 128 // 8)
+
+
+@pytest.mark.slow
 def test_train_fused_end_to_end(tmp_path):
     cfg = Config.from_dict({
         "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
