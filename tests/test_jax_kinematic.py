@@ -103,6 +103,21 @@ def test_max_steps_truncation_resets_without_done():
     assert int(state.steps[0]) == 0       # lane restarted
 
 
+def test_hospital_world_preset():
+    """World presets (envs/worlds.py) flow through make_consts: the unseen
+    hospital layout steps and matches the host env's geometry."""
+    consts = make_consts(world="hospital", image_hw=(16, 20), max_steps=50,
+                         seed=5)
+    host = KinematicNavEnv(seed=5, image_hw=(16, 20), world="hospital")
+    state, obs, goal = vec_reset(consts, 1)
+    np.testing.assert_allclose(np.asarray(obs)[0],
+                               host.reset().state[..., 0], atol=1e-4)
+    out = vec_step(consts, state, np.asarray([[0.1, 0.2]], np.float32))
+    s = host.step([0.1, 0.2], 0)
+    np.testing.assert_allclose(float(out.reward[0]), s.reward, atol=2e-3)
+    assert bool(out.done[0]) == bool(s.done)
+
+
 def test_lanes_are_independent():
     """B=3 batched stepping equals three separate B=1 runs."""
     consts = make_consts(world="rrc", image_hw=(16, 20), max_steps=50, seed=3)
