@@ -34,7 +34,6 @@ Semantics notes (deliberate, tested):
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional, Sequence
 
 import jax
