@@ -339,6 +339,12 @@ def test_evaluate_cli_from_train_state_checkpoint(tmp_path):
         evaluate.main(["--checkpoint", str(ckpt_dir), "--actor", "x.npz",
                        "--config", str(cfg_yaml)])
 
+    # --vec-eval: the whole protocol in one vectorized-env dispatch
+    out_v = tmp_path / "eval_vec"
+    evaluate.main(["--checkpoint", str(ckpt_dir), "--config", str(cfg_yaml),
+                   "--episodes", "2", "--out", str(out_v), "--vec-eval"])
+    assert (out_v / "testing_data.txt").exists()
+
 
 def test_save_replay_warm_buffer_resume(tmp_path):
     """cfg.train.save_replay: periodic checkpoints snapshot the replay
