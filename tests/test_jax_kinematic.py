@@ -142,6 +142,31 @@ def test_lanes_are_independent():
 
 
 @pytest.mark.slow
+def test_collector_through_interpret_kernels(monkeypatch):
+    """The rollout scan reaches the REAL fused Pallas kernel code (interpret
+    mode off-TPU) — de-risks the on-chip path where _act_impl routes the
+    policy forward through the megakernel inside lax.scan."""
+    import jax
+
+    from dgvit_tpu.agents.sac import SACAgent
+    from dgvit_tpu.train.vec_rollout import VecCollector
+
+    monkeypatch.setenv("DGVIT_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("DGVIT_MEGA_INTERPRET", "1")
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20),
+                  "emb_dropout": 0.0}})
+    agent = SACAgent(cfg)
+    state = agent.init_state(0)
+    consts = make_consts(world="rrc", image_hw=(32, 40), max_steps=6)
+    coll = VecCollector(agent, consts, 2, 5, l_scale=0.25, a_scale=1.0)
+    carry, traj = coll.collect(state.actor_params, coll.init(),
+                               jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(traj["rew"]).sum())
+
+
+@pytest.mark.slow
 def test_vec_eval_matches_host_eval(tmp_path):
     """run_eval_vec (all episodes as lanes, one dispatch) agrees with the
     host-loop run_eval on the same records and deterministic actor (fp32 env
