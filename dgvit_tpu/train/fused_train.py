@@ -85,12 +85,9 @@ def ring_write(ring: DeviceRing, rows: Dict[str, jax.Array]) -> DeviceRing:
         cursor=ring.cursor + n)
 
 
-def ring_sample(ring: DeviceRing, key: jax.Array, batch: int) -> Dict:
-    """Uniform minibatch from the valid prefix, shaped for
-    SACAgent._train_step_impl (rew/done as (b, 1) columns)."""
-    cap = ring.obs.shape[0]
-    size = jnp.minimum(ring.cursor, cap)
-    idx = jax.random.randint(key, (batch,), 0, jnp.maximum(size, 1))
+def ring_gather(ring: DeviceRing, idx: jax.Array) -> Dict:
+    """Minibatch rows by index, shaped for SACAgent._train_step_impl
+    (rew/done as (b, 1) columns)."""
     return {
         "obs": ring.obs[idx], "act": ring.act[idx], "pobs": ring.pobs[idx],
         "next_pobs": ring.next_pobs[idx], "rew": ring.rew[idx][:, None],
@@ -98,57 +95,89 @@ def ring_sample(ring: DeviceRing, key: jax.Array, batch: int) -> Dict:
     }
 
 
+def ring_sample(ring: DeviceRing, key: jax.Array, batch: int) -> Dict:
+    """Uniform minibatch from the valid prefix."""
+    cap = ring.obs.shape[0]
+    size = jnp.minimum(ring.cursor, cap)
+    idx = jax.random.randint(key, (batch,), 0, jnp.maximum(size, 1))
+    return ring_gather(ring, idx)
+
+
 def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      chunk: int, updates_per_round: int, batch_size: int,
                      l_scale: float, a_scale: float,
                      max_action: float = 1.0, raw: bool = False,
-                     stride: Optional[int] = None):
+                     stride: Optional[int] = None,
+                     prioritized: bool = False, beta: float = 0.4):
     """Build `run(state, env_carry, ring, rng, rounds)`: R rounds of
     [collect chunk -> ring write -> U updates] as ONE jitted dispatch.
     Returns (state, env_carry, ring, stats) with stats arrays shaped (R,).
+    `env_carry` is (vec_reset carry, DevicePER) when `prioritized` —
+    proportional sampling + IS weights + |td| priority updates entirely on
+    device (replay/device_per.py), the full PER protocol without a host.
 
     With a `grad_axis` agent the round is shard_map-ready (`raw=True` skips
     the jit so parallel.shard.shardmap_fused_round can wrap it): n_envs /
     batch_size / ring capacity are then PER-DEVICE, traj-derived stats are
     psum'd over the axis, and `stride` carries the GLOBAL lane count for
     record striding."""
+    from dgvit_tpu.replay.device_per import (per_on_write, per_sample,
+                                             per_update)
+
     collect = make_collect_fn(agent, consts, chunk, l_scale, a_scale,
                               max_action=max_action, stride=stride)
 
     def round_body(carry, _):
-        state, env_carry, ring, rng = carry
+        state, env_carry, ring, per, rng = carry
         rng, k_coll, k_upd = jax.random.split(rng, 3)
         env_carry, traj = collect(state.actor_params, env_carry, k_coll)
 
         flat = {k: traj[k].reshape((-1,) + traj[k].shape[2:])
                 for k in ("obs", "act", "pobs", "next_pobs", "rew",
                           "next_obs", "done")}
+        cap = ring.obs.shape[0]
+        new_rows = (ring.cursor
+                    + jnp.arange(flat["obs"].shape[0], dtype=jnp.int32)) % cap
         ring2 = ring_write(ring, flat)
+        if prioritized:
+            per = per_on_write(per, new_rows)
 
-        size = jnp.minimum(ring2.cursor, ring2.obs.shape[0])
+        size = jnp.minimum(ring2.cursor, cap)
 
-        def do_updates(st):
-            def upd(st, k):
-                st2, m = agent._train_step_impl(st, ring_sample(ring2, k,
-                                                                batch_size))
-                return st2, m
+        metric_keys = ("qf1_loss", "qf2_loss", "policy_loss", "alpha_loss",
+                       "alpha") + (() if prioritized else ("entropy",))
+
+        def do_updates(arg):
+            st, pr = arg
+
+            def upd(c, k):
+                st, pr = c
+                if prioritized:
+                    ks, _ = jax.random.split(k)
+                    idx, w = per_sample(pr, ks, batch_size, size, beta=beta)
+                    st2, m, td = agent._per_step_impl(
+                        st, ring_gather(ring2, idx), w)
+                    pr = per_update(pr, idx, jnp.abs(td) + 1e-6)
+                else:
+                    st2, m = agent._train_step_impl(
+                        st, ring_sample(ring2, k, batch_size))
+                return (st2, pr), m
+
             ks = jax.random.split(k_upd, updates_per_round)
-            st2, ms = jax.lax.scan(upd, st, ks)
+            (st2, pr), ms = jax.lax.scan(upd, (st, pr), ks)
             # f32 regardless of the agent's compute dtype, so both cond
             # branches (and the stats pytree) have one stable type
-            return st2, jax.tree_util.tree_map(
+            return (st2, pr), jax.tree_util.tree_map(
                 lambda x: x[-1].astype(jnp.float32), ms)
 
-        def no_updates(st):
-            zero = {k: jnp.float32(0.0) for k in
-                    ("qf1_loss", "qf2_loss", "policy_loss", "alpha_loss",
-                     "alpha", "entropy")}
+        def no_updates(arg):
+            zero = {k: jnp.float32(0.0) for k in metric_keys}
             if agent.nan_guard:
                 zero["skipped_nonfinite"] = jnp.float32(0.0)
-            return st, zero
+            return arg, zero
 
-        state, metrics = jax.lax.cond(size >= batch_size, do_updates,
-                                      no_updates, state)
+        (state, per), metrics = jax.lax.cond(size >= batch_size, do_updates,
+                                             no_updates, (state, per))
         stats = {
             "reward_sum": traj["rew"].sum(),
             "goals": traj["target"].sum().astype(jnp.int32),
@@ -163,12 +192,16 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
             stats = {k: jax.lax.psum(v, agent.grad_axis)
                      for k, v in stats.items()}
         stats.update(metrics)
-        return (state, env_carry, ring2, rng), stats
+        return (state, env_carry, ring2, per, rng), stats
 
     def run(state: SACTrainState, env_carry, ring: DeviceRing,
-            rng: jax.Array, rounds_arr: jax.Array):
-        (state, env_carry, ring, rng), stats = jax.lax.scan(
-            round_body, (state, env_carry, ring, rng), rounds_arr)
+            rng: jax.Array, rounds_arr: jax.Array, per=None):
+        if per is None:
+            per = jnp.float32(0.0)  # unused placeholder leaf
+        (state, env_carry, ring, per, rng), stats = jax.lax.scan(
+            round_body, (state, env_carry, ring, per, rng), rounds_arr)
+        if prioritized:
+            return state, env_carry, ring, stats, per
         return state, env_carry, ring, stats
 
     if raw:
@@ -208,12 +241,17 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                          max_steps=e.max_steps, seed=t.seed)
     upr = (n_envs * chunk) if updates_per_round is None else updates_per_round
     cap = ring_capacity or min(s.buffer_size, 8192)
+    prioritized = bool(s.prioritized_replay)
     run = make_fused_round(agent, consts, n_envs, chunk, upr, s.batch_size,
                            l_scale=e.linear_cmd_scale,
                            a_scale=e.angular_cmd_scale,
-                           max_action=e.max_action)
+                           max_action=e.max_action, prioritized=prioritized)
     env_carry = vec_reset(consts, n_envs)
     ring = ring_init(cap, (ih, iw), pdim=s.pstate_dim)
+    per = None
+    if prioritized:
+        from dgvit_tpu.replay.device_per import per_init
+        per = per_init(cap)
     rng = jax.random.PRNGKey(t.seed)
 
     logger = MetricsLogger(out_dir, f"train_fused_{cfg.model.name}_{t.desc}")
@@ -221,8 +259,12 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     done_rounds = goals = collisions = 0
     while done_rounds < rounds:
         seg = min(rounds_per_dispatch, rounds - done_rounds)
-        state, env_carry, ring, stats = run(state, env_carry, ring, rng,
-                                            jnp.arange(seg))
+        if prioritized:
+            state, env_carry, ring, stats, per = run(
+                state, env_carry, ring, rng, jnp.arange(seg), per)
+        else:
+            state, env_carry, ring, stats = run(state, env_carry, ring, rng,
+                                                jnp.arange(seg))
         rng = jax.random.fold_in(rng, done_rounds)
         host = {k: np.asarray(v) for k, v in stats.items()}
         for i in range(seg):
