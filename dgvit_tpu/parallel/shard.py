@@ -187,7 +187,8 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
                          n_envs: int, chunk: int, updates_per_round: int,
                          batch_size: int, ring_capacity: int,
                          l_scale: float, a_scale: float,
-                         max_action: float = 1.0):
+                         max_action: float = 1.0,
+                         prioritized: bool = False):
     """The ENTIRE fused training loop (train/fused_train.py: collect ->
     replay ring -> SAC updates) under the device mesh — distributed RL with
     zero host involvement per round.
@@ -210,6 +211,7 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
 
     from dgvit_tpu.core.mesh import AXIS_DATA, use_mesh
     from dgvit_tpu.envs.jax_kinematic import VecState, vec_reset
+    from dgvit_tpu.replay.device_per import DevicePER, per_init
     from dgvit_tpu.train.fused_train import (DeviceRing, make_fused_round,
                                              ring_init)
 
@@ -221,27 +223,37 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
     run_local = make_fused_round(
         agent, consts, n_envs // n_data, chunk,
         updates_per_round, batch_size // n_data,
-        l_scale, a_scale, max_action=max_action, raw=True, stride=n_envs)
+        l_scale, a_scale, max_action=max_action, raw=True, stride=n_envs,
+        prioritized=prioritized)
 
     repl, laneP = P(), P(AXIS_DATA)
     carry_spec = (VecState(*([laneP] * len(VecState._fields))), laneP, laneP)
     ring_spec = DeviceRing(obs=laneP, act=laneP, pobs=laneP, next_pobs=laneP,
                            rew=laneP, next_obs=laneP, done=laneP, cursor=repl)
     stats_spec = repl  # psum'd/pmean'd inside -> identical on every device
+    # PER state shards with the ring rows; the running max priority is
+    # pmax'd inside the round body so it stays replicated
+    per_spec = DevicePER(prios=laneP, max_p=repl)
 
-    sharded = shard_map(
-        run_local, mesh=runtime.mesh,
-        in_specs=(repl, carry_spec, ring_spec, repl, repl),
-        out_specs=(repl, carry_spec, ring_spec, stats_spec),
-        check_vma=False)
+    in_specs = [repl, carry_spec, ring_spec, repl, repl]
+    out_specs = [repl, carry_spec, ring_spec, stats_spec]
+    if prioritized:
+        in_specs.append(per_spec)
+        out_specs.append(per_spec)
+    sharded = shard_map(run_local, mesh=runtime.mesh,
+                        in_specs=tuple(in_specs),
+                        out_specs=tuple(out_specs), check_vma=False)
     step = jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     def init(hw, pdim: int = 2):
         env_carry = vec_reset(consts, n_envs)
-        return env_carry, ring_init(ring_capacity, hw, pdim=pdim)
+        ring = ring_init(ring_capacity, hw, pdim=pdim)
+        if prioritized:
+            return env_carry, ring, per_init(ring_capacity)
+        return env_carry, ring
 
-    def run(state, env_carry, ring, rng, rounds_arr):
+    def run(state, env_carry, ring, rng, rounds_arr, *per):
         with use_mesh(runtime.mesh):
-            return step(state, env_carry, ring, rng, rounds_arr)
+            return step(state, env_carry, ring, rng, rounds_arr, *per)
 
     return run, init

@@ -191,6 +191,11 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
             # the agent's _sync_mean)
             stats = {k: jax.lax.psum(v, agent.grad_axis)
                      for k, v in stats.items()}
+            if prioritized:
+                # running max priority is global state (new writes inherit
+                # it); pmax keeps it replicated across ring shards
+                per = per._replace(max_p=jax.lax.pmax(per.max_p,
+                                                      agent.grad_axis))
         stats.update(metrics)
         return (state, env_carry, ring2, per, rng), stats
 

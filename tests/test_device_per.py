@@ -80,6 +80,43 @@ def test_is_weights_match_cpp_buffer():
 
 
 @pytest.mark.slow
+def test_shardmap_fused_round_prioritized():
+    """Distributed fused loop with on-device PER: ring AND priority shards
+    per device, running max pmax'd, IS-weighted updates pmean'd."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dgvit_tpu.agents.sac import SACAgent
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.core.mesh import MeshRuntime
+    from dgvit_tpu.envs.jax_kinematic import make_consts
+    from dgvit_tpu.parallel.shard import shardmap_fused_round
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 8},
+    })
+    agent = SACAgent(cfg, grad_axis="data")
+    consts = make_consts(world="rrc", image_hw=(32, 40), max_steps=6)
+    run, init = shardmap_fused_round(
+        agent, MeshRuntime.create(data=8), consts, n_envs=8, chunk=6,
+        updates_per_round=2, batch_size=8, ring_capacity=128,
+        l_scale=0.25, a_scale=1.0, prioritized=True)
+    state = agent.init_state(0)
+    env_carry, ring, per = init((32, 40))
+    state, env_carry, ring, stats, per = run(
+        state, env_carry, ring, jax.random.PRNGKey(0), jnp.arange(3), per)
+    assert int(state.itera) == 6
+    host = {k: np.asarray(v) for k, v in stats.items()}
+    for k in ("qf1_loss", "policy_loss", "alpha", "reward_sum"):
+        assert np.isfinite(host[k]).all(), k
+    # priorities were actually updated away from the write-time default
+    prios = np.asarray(per.prios)
+    written = prios[prios > 0]
+    assert written.size and not np.allclose(written, written[0])
+
+
+@pytest.mark.slow
 def test_train_fused_prioritized(tmp_path):
     from dgvit_tpu.config import Config
     from dgvit_tpu.train.fused_train import train_fused
