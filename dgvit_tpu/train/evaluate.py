@@ -144,7 +144,8 @@ def _run_eval_device(cfg: Config, env: Env, actor_params, max_episodes: int,
 
 def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
                  world: str = "rrc", out_dir: str = "results",
-                 name: str = "model") -> dict:
+                 name: str = "model", obs_noise: float = 0.0,
+                 occlusion: float = 0.0, greying: float = 0.0) -> dict:
     """All eval episodes at once: lanes = episodes on the pure-JAX
     vectorized kinematic env (envs/jax_kinematic.py), the whole protocol ONE
     jitted scan dispatch (vs one dispatch per step in the host loop — on a
@@ -153,7 +154,14 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
     Matches run_eval semantics per lane: deterministic actions, bad-init
     exclusion (testing.py:117-121), success/collision latched at the FIRST
     episode end, durations in simulated seconds. Lane i runs record i mod
-    n_records (the host loop cycles the same table sequentially)."""
+    n_records (the host loop cycles the same table sequentially).
+
+    Sensor-fault robustness study (the reference's perturbation suite,
+    env_lab.py:33-67, applied in-graph so a whole sweep point is still one
+    dispatch): `obs_noise` adds N(0, sigma) on the [0,1] depth scale
+    (add_nose's sigma=50/255 ~= 0.196), `occlusion` zeroes a random pixel
+    fraction (pixel_occlusion), `greying` blends toward mid-grey
+    (greying_out)."""
     import jax.numpy as jnp
 
     from dgvit_tpu.agents import SACAgent
@@ -175,9 +183,24 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
         f = jnp.zeros(b, bool)
         init = (state, obs, goal, f, f, f, jnp.zeros(b), f)
 
+        def perturb(obs, key):
+            if obs_noise > 0.0:
+                key, k = jax.random.split(key)
+                obs = jnp.clip(obs + obs_noise * jax.random.normal(
+                    k, obs.shape), 0.0, 1.0)
+            if occlusion > 0.0:
+                key, k = jax.random.split(key)
+                keep = jax.random.uniform(k, obs.shape) >= occlusion
+                obs = obs * keep
+            if greying > 0.0:
+                obs = obs * (1.0 - greying) + 0.5 * greying
+            return obs
+
         def body(c, t):
             state, obs, goal, ended, succ, coll, dur, bad = c
             key = jax.random.fold_in(rng, t)
+            key, k_pert = jax.random.split(key)
+            obs = perturb(obs, k_pert)
             a = agent._act_impl(params, key, obs, goal[:, :2], True, False)
             a = jnp.clip(a, -e.max_action, e.max_action)
             a_in = jnp.stack([(a[:, 0] + 1.0) * e.linear_cmd_scale,
@@ -256,6 +279,16 @@ def main(argv=None):
                    help="run ALL episodes at once as lanes of the pure-JAX "
                         "vectorized kinematic env — the whole protocol is "
                         "one device dispatch (envs/jax_kinematic.py)")
+    p.add_argument("--obs-noise", type=float, default=0.0,
+                   help="robustness study (vec-eval only): N(0, sigma) "
+                        "sensor noise on the [0,1] scale (env_lab add_nose "
+                        "sigma=50/255 ~= 0.196)")
+    p.add_argument("--occlusion", type=float, default=0.0,
+                   help="robustness study (vec-eval only): random pixel "
+                        "dropout fraction (env_lab pixel_occlusion)")
+    p.add_argument("--greying", type=float, default=0.0,
+                   help="robustness study (vec-eval only): blend toward "
+                        "mid-grey (env_lab greying_out)")
     args = p.parse_args(argv)
     if bool(args.actor) == bool(args.checkpoint):
         p.error("exactly one of --actor / --checkpoint is required")
@@ -289,7 +322,8 @@ def main(argv=None):
         name = os.path.basename(args.actor)
     if args.vec_eval:
         out = run_eval_vec(cfg, params, args.episodes, args.world,
-                           args.out, name)
+                           args.out, name, obs_noise=args.obs_noise,
+                           occlusion=args.occlusion, greying=args.greying)
     else:
         out = run_eval(cfg, env, params, args.episodes, args.out, name,
                        device_rollout_loop=args.device_rollout)

@@ -197,6 +197,30 @@ def test_vec_eval_matches_host_eval(tmp_path):
 
 
 @pytest.mark.slow
+def test_vec_eval_perturbations_run(tmp_path):
+    """Robustness-study knobs (env_lab.py:33-67 suite, in-graph): each
+    perturbation compiles and completes; extreme greying destroys the
+    signal entirely (obs -> constant) without crashing."""
+    import jax
+
+    from dgvit_tpu.models import build_actor
+    from dgvit_tpu.train.evaluate import run_eval_vec
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "env": {"max_steps": 15},
+    })
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(3), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    for kw in ({"obs_noise": 0.2}, {"occlusion": 0.3}, {"greying": 1.0},
+               {"obs_noise": 0.2, "occlusion": 0.1, "greying": 0.2}):
+        out = run_eval_vec(cfg, params, 4, "rrc", str(tmp_path), "m", **kw)
+        assert 0 <= out["successes"] <= 4
+
+
+@pytest.mark.slow
 def test_shardmap_collect_matches_unsharded():
     """Lane-sharded collection over the 8-device data axis reproduces the
     unsharded collector exactly (globally-indexed row noise + global record
