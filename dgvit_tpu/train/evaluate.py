@@ -166,10 +166,12 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
 
     from dgvit_tpu.agents import SACAgent
     from dgvit_tpu.envs.jax_kinematic import make_consts, vec_reset, vec_step
+    from dgvit_tpu.train.vec_rollout import stack_init, stack_push
 
-    if cfg.model.patch_mode == "channels":
-        raise ValueError("--vec-eval does not support frame-stacked "
-                         "(channels-mode) actors; use the host loop")
+    # channels-mode actors (Imitation_learning.py:118-121) consume a
+    # (C, H, W) frame stack — carried in-graph like the host FrameStacker
+    fs = (int(cfg.env.frame_stack)
+          if cfg.model.patch_mode == "channels" else 0)
     e = cfg.env
     agent = SACAgent(cfg)
     consts = make_consts(world=world, image_hw=tuple(cfg.model.image_size),
@@ -179,6 +181,8 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
     @jax.jit
     def run(params, rng):
         state, obs, goal = vec_reset(consts, max_episodes)
+        if fs:
+            obs = stack_init(obs, fs)
         b = max_episodes
         f = jnp.zeros(b, bool)
         init = (state, obs, goal, f, f, f, jnp.zeros(b), f)
@@ -200,8 +204,10 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
             state, obs, goal, ended, succ, coll, dur, bad = c
             key = jax.random.fold_in(rng, t)
             key, k_pert = jax.random.split(key)
-            obs = perturb(obs, k_pert)
-            a = agent._act_impl(params, key, obs, goal[:, :2], True, False)
+            # perturbation affects what the policy SEES this step only —
+            # the clean frames stay in the carry (and the frame stack)
+            obs_in = perturb(obs, k_pert)
+            a = agent._act_impl(params, key, obs_in, goal[:, :2], True, False)
             a = jnp.clip(a, -e.max_action, e.max_action)
             a_in = jnp.stack([(a[:, 0] + 1.0) * e.linear_cmd_scale,
                               a[:, 1] * e.angular_cmd_scale], axis=1)
@@ -214,7 +220,13 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
             dur = jnp.where(hit, (t + 1.0) * dt, dur)
             coll = coll | (out.collided & live)
             ended = ended | out.done | out.truncated | bad
-            return (out.state, out.obs, out.to_goal, ended, succ, coll,
+            if fs:
+                restart = (out.done | out.truncated)[:, None, None, None]
+                carry_obs = jnp.where(restart, stack_init(out.obs, fs),
+                                      stack_push(obs, out.next_obs))
+            else:
+                carry_obs = out.obs
+            return (out.state, carry_obs, out.to_goal, ended, succ, coll,
                     dur, bad), None
 
         (state, obs, goal, ended, succ, coll, dur, bad), _ = jax.lax.scan(

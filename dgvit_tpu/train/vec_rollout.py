@@ -44,15 +44,32 @@ from dgvit_tpu.replay.buffer import (PrioritizedReplayBuffer, ReplayBuffer,
 from dgvit_tpu.utils.metrics import MetricsLogger
 
 
+def stack_init(obs: jax.Array, depth: int) -> jax.Array:
+    """(B, H, W) episode-start frame -> (B, C, H, W) stack, first frame
+    replicated (train_rl.FrameStacker.reset semantics)."""
+    return jnp.repeat(obs[:, None], depth, axis=1)
+
+
+def stack_push(stack: jax.Array, frame: jax.Array) -> jax.Array:
+    """Shift-left + append (FrameStacker.push)."""
+    return jnp.concatenate([stack[:, 1:], frame[:, None]], axis=1)
+
+
 def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
                     l_scale: float, a_scale: float, max_action: float = 1.0,
-                    evaluate: bool = False, stride: Optional[int] = None):
+                    evaluate: bool = False, stride: Optional[int] = None,
+                    frame_stack: int = 0):
     """Pure (actor_params, carry, rng) -> (carry', traj) rollout scan —
     jitted directly by VecCollector, or wrapped in shard_map with lanes over
     the `data` axis (parallel.shard.shardmap_collect). With a
     `grad_axis='data'` agent, the per-row globally-indexed action noise
     (sac._row_noise_draw) makes the sharded collection reproduce the
-    unsharded lane stream exactly."""
+    unsharded lane stream exactly.
+
+    `frame_stack` > 0 carries a (B, C, H, W) frame stack for channels-mode
+    actors (the Imitation_learning.py:118-121 patch embed): transitions
+    store STACKED obs/next_obs like the host loop (train_rl.FrameStacker);
+    a lane reset re-fills its stack with the fresh episode's first frame."""
 
     def _collect(actor_params, carry, rng):
         def body(c, t):
@@ -65,16 +82,24 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
                               a[:, 1] * a_scale], axis=1)
             first = state.steps == 0
             out = vec_step(consts, state, a_in, stride=stride)
+            if frame_stack:
+                next_obs = stack_push(obs, out.next_obs)
+                restart = (out.done | out.truncated)[:, None, None, None]
+                carry_obs = jnp.where(restart, stack_init(out.obs,
+                                                          frame_stack),
+                                      next_obs)
+            else:
+                next_obs, carry_obs = out.next_obs, out.obs
             trans = {
                 "obs": obs, "act": a, "pobs": goal[:, :2],
                 "next_pobs": out.next_to_goal[:, :2],
-                "rew": out.reward, "next_obs": out.next_obs,
+                "rew": out.reward, "next_obs": next_obs,
                 "done": out.done.astype(jnp.float32),
                 "store": ~first,
                 "target": out.target & ~first,
                 "collided": out.collided & ~first,
             }
-            return (out.state, out.obs, out.to_goal), trans
+            return (out.state, carry_obs, out.to_goal), trans
 
         return jax.lax.scan(body, carry, jnp.arange(chunk))
 
@@ -91,16 +116,21 @@ class VecCollector:
 
     def __init__(self, agent: SACAgent, consts: EnvConsts, batch: int,
                  chunk: int, l_scale: float, a_scale: float,
-                 max_action: float = 1.0, evaluate: bool = False):
+                 max_action: float = 1.0, evaluate: bool = False,
+                 frame_stack: int = 0):
         self.consts = consts
         self.batch = int(batch)
         self.chunk = int(chunk)
+        self.frame_stack = int(frame_stack)
         self._collect = jax.jit(make_collect_fn(
             agent, consts, self.chunk, l_scale, a_scale,
-            max_action=max_action, evaluate=evaluate))
+            max_action=max_action, evaluate=evaluate,
+            frame_stack=self.frame_stack))
 
     def init(self) -> Tuple:
         state, obs, goal = vec_reset(self.consts, self.batch)
+        if self.frame_stack:
+            obs = stack_init(obs, self.frame_stack)
         return state, obs, goal
 
     def collect(self, actor_params, carry, rng):
@@ -133,12 +163,18 @@ def train_vec(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     """Vectorized kinematic-world SAC training: device-batched collection
     (VecCollector) feeding the fused update path, 1 update per stored env
     step by default (the reference's learn-per-step cadence,
-    main.py:369-394). Frame stacking / channels patch mode is host-loop
-    machinery — use train_rl for those configs."""
+    main.py:369-394). Channels-mode actors are supported via the in-graph
+    frame stack (env.use_frame_stack + model.patch_mode='channels')."""
     t, e, s = cfg.train, cfg.env, cfg.sac
-    if cfg.model.patch_mode != "2d" or e.use_frame_stack:
-        raise ValueError("train_vec supports the 2d single-frame pipeline; "
-                         "use train_rl for frame-stacked/channels configs")
+    fs = 0
+    if cfg.model.patch_mode == "channels":
+        if not e.use_frame_stack:
+            raise ValueError("patch_mode='channels' needs "
+                             "env.use_frame_stack=True in train_vec")
+        fs = int(e.frame_stack)
+    elif e.use_frame_stack:
+        raise ValueError("env.use_frame_stack=True needs "
+                         "model.patch_mode='channels'")
 
     rng = RngStream(t.seed)
     agent = SACAgent(cfg)
@@ -159,11 +195,12 @@ def train_vec(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     coll = VecCollector(agent, consts, n_envs, chunk,
                         l_scale=e.linear_cmd_scale,
                         a_scale=e.angular_cmd_scale,
-                        max_action=e.max_action)
+                        max_action=e.max_action, frame_stack=fs)
     carry = coll.init()
 
+    obs_shape = (fs, ih, iw) if fs else (ih, iw)
     buf_cls = PrioritizedReplayBuffer if s.prioritized_replay else ReplayBuffer
-    buf = buf_cls(s.buffer_size, reference_schema((ih, iw), s.action_dim,
+    buf = buf_cls(s.buffer_size, reference_schema(obs_shape, s.action_dim,
                                                   s.pstate_dim), seed=t.seed)
     logger = MetricsLogger(out_dir, f"train_vec_{cfg.model.name}_{t.desc}")
 

@@ -197,6 +197,37 @@ def test_vec_eval_matches_host_eval(tmp_path):
 
 
 @pytest.mark.slow
+def test_vec_channels_frame_stack(tmp_path):
+    """Channels-mode actors (Imitation_learning.py:118-121 patch embed) run
+    through the vectorized paths: in-graph frame stack in train_vec
+    (stacked transitions land in the replay schema) and in run_eval_vec."""
+    import jax
+
+    from dgvit_tpu.train.evaluate import run_eval_vec
+    from dgvit_tpu.train.vec_rollout import train_vec
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20),
+                  "patch_mode": "channels"},
+        "sac": {"batch_size": 4, "buffer_size": 256},
+        "env": {"max_steps": 8, "use_frame_stack": True, "frame_stack": 2},
+        "train": {"pre_buffer": False, "pre_train": False},
+    })
+    out = train_vec(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                    total_env_steps=24, updates_per_chunk=1)
+    assert out["env_steps"] >= 24
+    assert out["updates"] >= 1          # stacked batches reached the agent
+
+    from dgvit_tpu.models import build_actor
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(0), np.zeros((1, 2, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    r = run_eval_vec(cfg, params, 3, "rrc", str(tmp_path / "ev"), "m")
+    assert 0 <= r["successes"] <= 3
+
+
+@pytest.mark.slow
 def test_vec_eval_perturbations_run(tmp_path):
     """Robustness-study knobs (env_lab.py:33-67 suite, in-graph): each
     perturbation compiles and completes; extreme greying destroys the
