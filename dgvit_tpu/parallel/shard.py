@@ -245,9 +245,9 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
                         out_specs=tuple(out_specs), check_vma=False)
     step = jax.jit(sharded, donate_argnums=(0, 1, 2))
 
-    def init(hw, pdim: int = 2):
+    def init(obs_shape, pdim: int = 2):
         env_carry = vec_reset(consts, n_envs)
-        ring = ring_init(ring_capacity, hw, pdim=pdim)
+        ring = ring_init(ring_capacity, obs_shape, pdim=pdim)
         if prioritized:
             return env_carry, ring, per_init(ring_capacity)
         return env_carry, ring

@@ -55,16 +55,17 @@ class DeviceRing(NamedTuple):
     cursor: jax.Array     # int32 scalar: total writes (wraps modulo cap)
 
 
-def ring_init(capacity: int, hw: Tuple[int, int], pdim: int = 2) -> DeviceRing:
-    h, w = hw
+def ring_init(capacity: int, obs_shape: Tuple[int, ...],
+              pdim: int = 2) -> DeviceRing:
+    """`obs_shape`: (H, W) for single-frame, (C, H, W) for channels mode."""
     z = jnp.zeros
     return DeviceRing(
-        obs=z((capacity, h, w), jnp.float32),
+        obs=z((capacity,) + tuple(obs_shape), jnp.float32),
         act=z((capacity, 2), jnp.float32),
         pobs=z((capacity, pdim), jnp.float32),
         next_pobs=z((capacity, pdim), jnp.float32),
         rew=z((capacity,), jnp.float32),
-        next_obs=z((capacity, h, w), jnp.float32),
+        next_obs=z((capacity,) + tuple(obs_shape), jnp.float32),
         done=z((capacity,), jnp.float32),
         cursor=jnp.int32(0))
 
@@ -108,7 +109,8 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      l_scale: float, a_scale: float,
                      max_action: float = 1.0, raw: bool = False,
                      stride: Optional[int] = None,
-                     prioritized: bool = False, beta: float = 0.4):
+                     prioritized: bool = False, beta: float = 0.4,
+                     frame_stack: int = 0):
     """Build `run(state, env_carry, ring, rng, rounds)`: R rounds of
     [collect chunk -> ring write -> U updates] as ONE jitted dispatch.
     Returns (state, env_carry, ring, stats) with stats arrays shaped (R,).
@@ -125,7 +127,8 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                                              per_update)
 
     collect = make_collect_fn(agent, consts, chunk, l_scale, a_scale,
-                              max_action=max_action, stride=stride)
+                              max_action=max_action, stride=stride,
+                              frame_stack=frame_stack)
 
     def round_body(carry, _):
         state, env_carry, ring, per, rng = carry
@@ -233,8 +236,15 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     from dgvit_tpu.utils.metrics import MetricsLogger
 
     t, e, s = cfg.train, cfg.env, cfg.sac
-    if cfg.model.patch_mode != "2d" or e.use_frame_stack:
-        raise ValueError("train_fused supports the 2d single-frame pipeline")
+    fs = 0
+    if cfg.model.patch_mode == "channels":
+        if not e.use_frame_stack:
+            raise ValueError("patch_mode='channels' needs "
+                             "env.use_frame_stack=True in train_fused")
+        fs = int(e.frame_stack)
+    elif e.use_frame_stack:
+        raise ValueError("env.use_frame_stack=True needs "
+                         "model.patch_mode='channels'")
     ih, iw = cfg.model.image_size
     agent = SACAgent(cfg)
     state = agent.init_state(t.seed)
@@ -250,9 +260,15 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     run = make_fused_round(agent, consts, n_envs, chunk, upr, s.batch_size,
                            l_scale=e.linear_cmd_scale,
                            a_scale=e.angular_cmd_scale,
-                           max_action=e.max_action, prioritized=prioritized)
+                           max_action=e.max_action, prioritized=prioritized,
+                           frame_stack=fs)
     env_carry = vec_reset(consts, n_envs)
-    ring = ring_init(cap, (ih, iw), pdim=s.pstate_dim)
+    if fs:
+        from dgvit_tpu.train.vec_rollout import stack_init
+        env_carry = (env_carry[0], stack_init(env_carry[1], fs),
+                     env_carry[2])
+    obs_shape = (fs, ih, iw) if fs else (ih, iw)
+    ring = ring_init(cap, obs_shape, pdim=s.pstate_dim)
     per = None
     if prioritized:
         from dgvit_tpu.replay.device_per import per_init

@@ -93,6 +93,28 @@ def test_shardmap_fused_round():
 
 
 @pytest.mark.slow
+def test_train_fused_channels(tmp_path):
+    """Channels-mode (frame-stacked) actors through the fused loop: the
+    ring stores (C, H, W) stacks, collection carries the in-graph stack."""
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.train.fused_train import train_fused
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20),
+                  "patch_mode": "channels"},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 8, "use_frame_stack": True, "frame_stack": 2},
+        "train": {"pre_buffer": False, "pre_train": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                      rounds=3, rounds_per_dispatch=3, updates_per_round=1,
+                      ring_capacity=64)
+    assert out["rounds"] == 3
+    assert out["updates"] >= 2
+
+
+@pytest.mark.slow
 def test_train_fused_end_to_end(tmp_path):
     cfg = Config.from_dict({
         "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
