@@ -160,7 +160,7 @@ def shardmap_collect(agent: SACAgent, runtime: MeshRuntime, consts,
     carry_spec = (lane_state, laneP, laneP)
     traj_spec = {k: P(None, AXIS_DATA) for k in
                  ("obs", "act", "pobs", "next_pobs", "rew", "next_obs",
-                  "done", "store", "target", "collided")}
+                  "done", "episode_end", "store", "target", "collided")}
 
     # stride=batch: sharded lanes must advance the record table by the
     # GLOBAL lane count on auto-reset, as the unsharded collector does

@@ -185,7 +185,7 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
             "reward_sum": traj["rew"].sum(),
             "goals": traj["target"].sum().astype(jnp.int32),
             "collisions": traj["collided"].sum().astype(jnp.int32),
-            "episodes": traj["done"].sum().astype(jnp.int32),
+            "episodes": traj["episode_end"].sum().astype(jnp.int32),
             "buffer": size,
         }
         if agent.grad_axis is not None:
@@ -224,11 +224,15 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 rounds_per_dispatch: int = 10,
                 updates_per_round: Optional[int] = None,
                 ring_capacity: Optional[int] = None,
-                world: Optional[str] = None) -> dict:
+                world: Optional[str] = None,
+                max_episodes: Optional[int] = None) -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
-    step (the reference's learn-per-step cadence)."""
+    step (the reference's learn-per-step cadence). `max_episodes` adds an
+    episode-count stopping criterion (checked between dispatch segments) so
+    a run can match the reference's MAX_EPISODES protocol (config.yaml:10)
+    rather than a fixed round budget; `rounds` then acts as a safety cap."""
     import os
 
     from dgvit_tpu.core import checkpoint as ckpt
@@ -277,7 +281,7 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
 
     logger = MetricsLogger(out_dir, f"train_fused_{cfg.model.name}_{t.desc}")
     ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
-    done_rounds = goals = collisions = 0
+    done_rounds = goals = collisions = episodes = 0
     while done_rounds < rounds:
         seg = min(rounds_per_dispatch, rounds - done_rounds)
         if prioritized:
@@ -292,17 +296,20 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
             done_rounds += 1
             goals += int(host["goals"][i])
             collisions += int(host["collisions"][i])
+            episodes += int(host["episodes"][i])
             logger.log(done_rounds,
                        env_steps=done_rounds * n_envs * chunk,
-                       goals=goals, collisions=collisions,
+                       goals=goals, collisions=collisions, episodes=episodes,
                        **{k: float(host[k][i]) for k in
                           ("reward_sum", "qf1_loss", "policy_loss", "alpha",
                            "buffer")})
         if t.save:
             ckpt.save_train_state(ckpt_dir, int(state.itera), state)
             ckpt.prune_checkpoints(ckpt_dir, keep=3)
+        if max_episodes is not None and episodes >= max_episodes:
+            break
     return {"rounds": done_rounds, "env_steps": done_rounds * n_envs * chunk,
-            "goals": goals, "collisions": collisions,
+            "goals": goals, "collisions": collisions, "episodes": episodes,
             "updates": int(state.itera), "state": state}
 
 
@@ -320,16 +327,20 @@ def main(argv=None):
     p.add_argument("--updates-per-round", type=int, default=None)
     p.add_argument("--ring-capacity", type=int, default=None)
     p.add_argument("--world", default="rrc")
+    p.add_argument("--max-episodes", type=int, default=None,
+                   help="stop once this many lane-episodes complete "
+                        "(reference MAX_EPISODES protocol); --rounds caps")
     args = p.parse_args(argv)
     cfg = Config.from_yaml(args.config) if args.config else Config()
     out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,
                       chunk=args.chunk, rounds=args.rounds,
                       rounds_per_dispatch=args.rounds_per_dispatch,
                       updates_per_round=args.updates_per_round,
-                      ring_capacity=args.ring_capacity, world=args.world)
+                      ring_capacity=args.ring_capacity, world=args.world,
+                      max_episodes=args.max_episodes)
     print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
-          f"goals: {out['goals']}  collisions: {out['collisions']}  "
-          f"updates: {out['updates']}")
+          f"episodes: {out['episodes']}  goals: {out['goals']}  "
+          f"collisions: {out['collisions']}  updates: {out['updates']}")
 
 
 if __name__ == "__main__":

@@ -95,6 +95,9 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
                 "next_pobs": out.next_to_goal[:, :2],
                 "rew": out.reward, "next_obs": next_obs,
                 "done": out.done.astype(jnp.float32),
+                # reference episodes end at done OR the max_steps cap
+                # (main.py:369-394 loop bound); `done` alone undercounts
+                "episode_end": (out.done | out.truncated).astype(jnp.float32),
                 "store": ~first,
                 "target": out.target & ~first,
                 "collided": out.collided & ~first,

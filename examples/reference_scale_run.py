@@ -31,6 +31,17 @@ def main(argv=None):
                    help="testing.py:46 protocol evaluates 100 episodes")
     p.add_argument("--out", default="results/ref_scale")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="run the protocol through the fully-fused on-device "
+                        "trainer (train/fused_train.py) instead of the "
+                        "per-step host loop. On the tunneled backend the "
+                        "host loop measures ~5 env steps/s (each step pays "
+                        "a dispatch RTT; tools/bench_rollout.py), making "
+                        "800 episodes infeasible; the fused tier keeps the "
+                        "reference's learn-per-step cadence, PER, and "
+                        "episode budget with the whole round on device")
+    p.add_argument("--n-envs", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--host-eval", action="store_true",
                    help="final eval via the per-step host loop instead of "
                         "the single-dispatch vectorized eval (run_eval_vec; "
@@ -59,14 +70,32 @@ def main(argv=None):
     cfg.train.save_replay = True
     cfg.train.desc = "ref_scale_per"
 
-    env = KinematicNavEnv(seed=3407)    # reference SEED (config.yaml:7)
     t0 = time.time()
-    res = train(cfg, env, out_dir=args.out, max_episodes=args.episodes,
-                resume=args.resume)
-    train_wall = time.time() - t0
-    print(f"train done: {res['successes']} goals / {res['episodes']} episodes "
-          f"in {train_wall / 3600:.2f} h, max mean reward "
-          f"{res['max_mean_reward']:.1f}", flush=True)
+    if args.fused:
+        from dgvit_tpu.train.fused_train import train_fused
+
+        # one update per collected env step (main.py:394 cadence); episode
+        # budget is the stopping criterion, a generous round cap guards
+        # against pathological non-termination
+        res_f = train_fused(
+            cfg, out_dir=args.out, n_envs=args.n_envs, chunk=args.chunk,
+            rounds=10 ** 6, rounds_per_dispatch=5,
+            max_episodes=args.episodes)
+        train_wall = time.time() - t0
+        res = {"successes": res_f["goals"], "episodes": res_f["episodes"],
+               "max_mean_reward": float("nan"), "state": res_f["state"]}
+        print(f"fused train done: {res_f['goals']} goals / "
+              f"{res_f['episodes']} episodes / {res_f['env_steps']} steps / "
+              f"{res_f['updates']} updates in {train_wall / 3600:.2f} h",
+              flush=True)
+    else:
+        env = KinematicNavEnv(seed=3407)    # reference SEED (config.yaml:7)
+        res = train(cfg, env, out_dir=args.out, max_episodes=args.episodes,
+                    resume=args.resume)
+        train_wall = time.time() - t0
+        print(f"train done: {res['successes']} goals / {res['episodes']} "
+              f"episodes in {train_wall / 3600:.2f} h, max mean reward "
+              f"{res['max_mean_reward']:.1f}", flush=True)
 
     if args.host_eval:
         ev = KinematicNavEnv(seed=7)
@@ -81,9 +110,11 @@ def main(argv=None):
                          max_episodes=args.eval_episodes, world="rrc",
                          out_dir=args.out, name="ref_scale_eval")
     summary = {
+        "mode": "fused" if args.fused else "host_loop",
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],
-        "max_mean_reward": round(float(res["max_mean_reward"]), 2),
+        "max_mean_reward": (None if args.fused
+                            else round(float(res["max_mean_reward"]), 2)),
         "train_hours": round(train_wall / 3600, 3),
         "eval_success_rate": r["success_rate"],
         "eval_collisions": r.get("collisions"),

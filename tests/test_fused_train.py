@@ -114,6 +114,23 @@ def test_train_fused_channels(tmp_path):
     assert out["updates"] >= 2
 
 
+def test_train_fused_max_episodes(tmp_path):
+    """max_episodes stops the run by episode count (the reference's
+    MAX_EPISODES protocol, config.yaml:10) rather than round budget."""
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 4},   # lanes finish an episode every <=4 steps
+        "train": {"pre_buffer": False, "pre_train": False, "save": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                      rounds=100, rounds_per_dispatch=2, updates_per_round=1,
+                      ring_capacity=64, max_episodes=3)
+    assert out["episodes"] >= 3
+    assert out["rounds"] < 100   # stopped by the episode criterion
+
+
 @pytest.mark.slow
 def test_train_fused_end_to_end(tmp_path):
     cfg = Config.from_dict({

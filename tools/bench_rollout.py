@@ -10,13 +10,21 @@ crosses the boundary via ordered io_callback (train/device_rollout.py).
 Vectorized: B pure-JAX envs + policy in one scan, ZERO host boundary
 (train/vec_rollout.VecCollector) — honest timing via a host scalar pull of
 the reward sum (the tunnel's block_until_ready lies; BENCH.md pitfalls).
+Fused: collect + on-device replay ring + SAC updates in ONE dispatch
+(train/fused_train.py).
+
+Each arm runs in isolation: a failure (e.g. a transient tunnel error on the
+io_callback arm) emits an {"error": ...} line and the remaining arms still
+run. Select arms with --arms host,device,vec,fused.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_rollout.py
 """
 
+import argparse
 import json
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -32,7 +40,6 @@ import numpy as np
 from dgvit_tpu.agents import SACAgent
 from dgvit_tpu.config import Config
 from dgvit_tpu.envs import KinematicNavEnv
-from dgvit_tpu.train.device_rollout import device_rollout
 
 EPISODES = 5
 MAX_STEPS = 200
@@ -42,41 +49,42 @@ FUSED_B, FUSED_T, FUSED_U = 16, 32, 32   # fused-arm lanes/chunk/updates
 FUSED_CAP = 4096
 
 
-def main():
-    cfg = Config()
-    cfg.model.compute_dtype = "bfloat16"
-    agent = SACAgent(cfg, dtype=jnp.bfloat16)
-    state = agent.init_state(0)
-    l_s, a_s = cfg.env.linear_cmd_scale, cfg.env.angular_cmd_scale
+def _sq(x):
+    return np.squeeze(x, -1) if x.ndim == 3 else x
 
-    # ---- host loop (reference pattern) -------------------------------------
+
+def arm_host(agent, state, l_s, a_s):
+    """Reference main.py:369 pattern — one choose_action dispatch per step."""
     env = KinematicNavEnv(seed=11)
     key = jax.random.PRNGKey(0)
-    # warm the choose_action compile outside the timed region
-    sq = lambda x: np.squeeze(x, -1) if x.ndim == 3 else x
     s0 = env.reset()
-    a = agent.choose_action(state, sq(s0.state), np.asarray(s0.to_goal)[:2],
+    a = agent.choose_action(state, _sq(s0.state), np.asarray(s0.to_goal)[:2],
                             key, evaluate=True)
-    np.asarray(a)
+    np.asarray(a)           # warm the compile outside the timed region
     steps = 0
     t0 = time.perf_counter()
     for ep in range(EPISODES):
         s = env.reset()
         for t in range(MAX_STEPS):
             a = np.asarray(agent.choose_action(
-                state, sq(s.state), np.asarray(s.to_goal)[:2], key,
+                state, _sq(s.state), np.asarray(s.to_goal)[:2], key,
                 evaluate=True))
             s = env.step([(float(a[0]) + 1) * l_s, float(a[1]) * a_s], t)
             steps += 1
             if s.done:
                 break
     host_dt = time.perf_counter() - t0
-    host_sps = steps / host_dt
+    sps = steps / host_dt
     print(json.dumps({"metric": "host-loop env steps/s (kinematic)",
-                      "value": round(host_sps, 1), "unit": "steps/s",
+                      "value": round(sps, 1), "unit": "steps/s",
                       "steps": steps}), flush=True)
+    return sps
 
-    # ---- on-device io_callback loop -----------------------------------------
+
+def arm_device(agent, state, l_s, a_s, host_sps):
+    """Whole episode as ONE jitted lax.scan; env physics via io_callback."""
+    from dgvit_tpu.train.device_rollout import device_rollout
+
     env2 = KinematicNavEnv(seed=11)
     # warm compile: one episode (device_rollout resets the env itself)
     r = device_rollout(agent, state, env2, MAX_STEPS, l_s, a_s,
@@ -89,14 +97,17 @@ def main():
                            jax.random.PRNGKey(ep), evaluate=True)
         steps_d += int(r.steps)
     dev_dt = time.perf_counter() - t0
-    dev_sps = steps_d / dev_dt
-    print(json.dumps({"metric": "on-device io_callback env steps/s (kinematic)",
-                      "value": round(dev_sps, 1), "unit": "steps/s",
-                      "steps": steps_d,
-                      "speedup_vs_host_loop": round(dev_sps / host_sps, 2)}),
-          flush=True)
+    sps = steps_d / dev_dt
+    row = {"metric": "on-device io_callback env steps/s (kinematic)",
+           "value": round(sps, 1), "unit": "steps/s", "steps": steps_d}
+    if host_sps:
+        row["speedup_vs_host_loop"] = round(sps / host_sps, 2)
+    print(json.dumps(row), flush=True)
+    return sps
 
-    # ---- pure-JAX vectorized collection (zero host boundary) ---------------
+
+def arm_vec(agent, state, l_s, a_s, host_sps):
+    """B pure-JAX envs + policy in one scan, zero host boundary."""
     from dgvit_tpu.envs.jax_kinematic import make_consts
     from dgvit_tpu.train.vec_rollout import VecCollector
 
@@ -115,26 +126,29 @@ def main():
                                    jax.random.PRNGKey(i))
         tot += float(traj["rew"].sum())   # host scalar pull = honest sync
     vec_dt = time.perf_counter() - t0
-    vec_sps = B * T * n_chunks / vec_dt
-    print(json.dumps({"metric": "vectorized on-device env steps/s (kinematic)",
-                      "value": round(vec_sps, 1), "unit": "steps/s",
-                      "lanes": B, "chunk": T,
-                      "reward_sum": round(tot, 2),
-                      "speedup_vs_host_loop": round(vec_sps / host_sps, 2)}),
-          flush=True)
+    sps = B * T * n_chunks / vec_dt
+    row = {"metric": "vectorized on-device env steps/s (kinematic)",
+           "value": round(sps, 1), "unit": "steps/s",
+           "lanes": B, "chunk": T, "reward_sum": round(tot, 2)}
+    if host_sps:
+        row["speedup_vs_host_loop"] = round(sps / host_sps, 2)
+    print(json.dumps(row), flush=True)
+    return sps
 
-    # ---- fully-fused training rounds (collect + ring + updates on device) --
-    from dgvit_tpu.envs.jax_kinematic import make_consts as mk_consts
-    from dgvit_tpu.envs.jax_kinematic import vec_reset
+
+def arm_fused():
+    """Collect + on-device replay ring + SAC updates in ONE dispatch."""
+    from dgvit_tpu.envs.jax_kinematic import make_consts, vec_reset
     from dgvit_tpu.train.fused_train import make_fused_round, ring_init
 
     cfg_f = Config()
     cfg_f.model.compute_dtype = "bfloat16"
     agent_f = SACAgent(cfg_f, dtype=jnp.bfloat16)
     state_f = agent_f.init_state(0)
+    l_s, a_s = cfg_f.env.linear_cmd_scale, cfg_f.env.angular_cmd_scale
     FB, FT, FU = FUSED_B, FUSED_T, FUSED_U
-    consts_f = mk_consts(world="rrc", image_hw=IMAGE_HW,
-                         max_steps=MAX_STEPS, seed=11)
+    consts_f = make_consts(world="rrc", image_hw=IMAGE_HW,
+                           max_steps=MAX_STEPS, seed=11)
     run = make_fused_round(agent_f, consts_f, FB, FT, FU,
                            cfg_f.sac.batch_size, l_s, a_s)
     env_carry = vec_reset(consts_f, FB)
@@ -161,5 +175,40 @@ def main():
         "updates_per_s": round(FU * n_rounds / fused_dt, 1)}), flush=True)
 
 
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--arms", default="host,device,vec,fused",
+                   help="comma-separated subset of host,device,vec,fused")
+    args = p.parse_args(argv)
+    arms = [a.strip() for a in args.arms.split(",") if a.strip()]
+
+    cfg = Config()
+    cfg.model.compute_dtype = "bfloat16"
+    agent = SACAgent(cfg, dtype=jnp.bfloat16)
+    state = agent.init_state(0)
+    l_s, a_s = cfg.env.linear_cmd_scale, cfg.env.angular_cmd_scale
+
+    host_sps = None
+    failures = 0
+    for arm in arms:
+        try:
+            if arm == "host":
+                host_sps = arm_host(agent, state, l_s, a_s)
+            elif arm == "device":
+                arm_device(agent, state, l_s, a_s, host_sps)
+            elif arm == "vec":
+                arm_vec(agent, state, l_s, a_s, host_sps)
+            elif arm == "fused":
+                arm_fused()
+            else:
+                raise ValueError(f"unknown arm {arm!r}")
+        except Exception as e:                       # noqa: BLE001
+            failures += 1
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({"arm": arm, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
