@@ -225,14 +225,22 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 updates_per_round: Optional[int] = None,
                 ring_capacity: Optional[int] = None,
                 world: Optional[str] = None,
-                max_episodes: Optional[int] = None) -> dict:
+                max_episodes: Optional[int] = None,
+                resume: bool = False) -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
     step (the reference's learn-per-step cadence). `max_episodes` adds an
     episode-count stopping criterion (checked between dispatch segments) so
     a run can match the reference's MAX_EPISODES protocol (config.yaml:10)
-    rather than a fixed round budget; `rounds` then acts as a safety cap."""
+    rather than a fixed round budget; `rounds` then acts as a safety cap.
+
+    resume=True restores the latest train-state checkpoint from the
+    checkpoint dir and recovers the cumulative round/goal/episode counters
+    from the run's JSONL, so a tunnel drop mid-run costs only the on-device
+    replay ring (rebuilt from fresh collection) — not the learned weights or
+    the episode budget accounting."""
+    import json as _json
     import os
 
     from dgvit_tpu.core import checkpoint as ckpt
@@ -282,6 +290,24 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     logger = MetricsLogger(out_dir, f"train_fused_{cfg.model.name}_{t.desc}")
     ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
     done_rounds = goals = collisions = episodes = 0
+    if resume:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            state = ckpt.restore_train_state(latest, state)
+            print(f"[train_fused] resumed train state from {latest} "
+                  f"(itera={int(state.itera)})", flush=True)
+        if os.path.exists(logger.jsonl):
+            with open(logger.jsonl) as f:
+                lines = [ln for ln in f if ln.strip()]
+            if lines:
+                last = _json.loads(lines[-1])
+                done_rounds = int(last.get("step", 0))
+                goals = int(last.get("goals", 0))
+                collisions = int(last.get("collisions", 0))
+                episodes = int(last.get("episodes", 0))
+                rng = jax.random.fold_in(rng, done_rounds)
+                print(f"[train_fused] resumed counters: rounds={done_rounds} "
+                      f"episodes={episodes} goals={goals}", flush=True)
     while done_rounds < rounds:
         seg = min(rounds_per_dispatch, rounds - done_rounds)
         if prioritized:
@@ -330,6 +356,8 @@ def main(argv=None):
     p.add_argument("--max-episodes", type=int, default=None,
                    help="stop once this many lane-episodes complete "
                         "(reference MAX_EPISODES protocol); --rounds caps")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint + JSONL counters")
     args = p.parse_args(argv)
     cfg = Config.from_yaml(args.config) if args.config else Config()
     out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,
@@ -337,7 +365,7 @@ def main(argv=None):
                       rounds_per_dispatch=args.rounds_per_dispatch,
                       updates_per_round=args.updates_per_round,
                       ring_capacity=args.ring_capacity, world=args.world,
-                      max_episodes=args.max_episodes)
+                      max_episodes=args.max_episodes, resume=args.resume)
     print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
           f"episodes: {out['episodes']}  goals: {out['goals']}  "
           f"collisions: {out['collisions']}  updates: {out['updates']}")

@@ -80,7 +80,7 @@ def main(argv=None):
         res_f = train_fused(
             cfg, out_dir=args.out, n_envs=args.n_envs, chunk=args.chunk,
             rounds=10 ** 6, rounds_per_dispatch=5,
-            max_episodes=args.episodes)
+            max_episodes=args.episodes, resume=args.resume)
         train_wall = time.time() - t0
         res = {"successes": res_f["goals"], "episodes": res_f["episodes"],
                "max_mean_reward": float("nan"), "state": res_f["state"]}

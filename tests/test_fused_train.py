@@ -131,6 +131,30 @@ def test_train_fused_max_episodes(tmp_path):
     assert out["rounds"] < 100   # stopped by the episode criterion
 
 
+def test_train_fused_resume(tmp_path):
+    """resume=True restores the checkpointed train state AND the cumulative
+    episode/goal counters from the JSONL, so a crashed run can continue
+    toward the same MAX_EPISODES budget without restarting it."""
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 4},
+        "train": {"pre_buffer": False, "pre_train": False, "save": True},
+    })
+    out1 = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                       rounds=2, rounds_per_dispatch=2, updates_per_round=1,
+                       ring_capacity=64)
+    assert out1["rounds"] == 2 and out1["updates"] >= 2
+    # "crash": relaunch with a larger budget and resume — counters continue
+    out2 = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                       rounds=4, rounds_per_dispatch=2, updates_per_round=1,
+                       ring_capacity=64, resume=True)
+    assert out2["rounds"] == 4                      # 2 resumed + 2 new
+    assert out2["episodes"] >= out1["episodes"]     # cumulative, not reset
+    assert int(out2["state"].itera) > int(out1["state"].itera)
+
+
 @pytest.mark.slow
 def test_train_fused_end_to_end(tmp_path):
     cfg = Config.from_dict({
