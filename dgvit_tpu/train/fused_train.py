@@ -110,7 +110,8 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      max_action: float = 1.0, raw: bool = False,
                      stride: Optional[int] = None,
                      prioritized: bool = False, beta: float = 0.4,
-                     frame_stack: int = 0):
+                     frame_stack: int = 0,
+                     expert: Optional[Dict[str, jax.Array]] = None):
     """Build `run(state, env_carry, ring, rng, rounds)`: R rounds of
     [collect chunk -> ring write -> U updates] as ONE jitted dispatch.
     Returns (state, env_carry, ring, stats) with stats arrays shaped (R,).
@@ -118,11 +119,21 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
     proportional sampling + IS weights + |td| priority updates entirely on
     device (replay/device_per.py), the full PER protocol without a host.
 
+    `expert`: device-resident expert transitions (dict of (N, ...) arrays
+    with the ring's field names; 'act' = expert action) — each update then
+    runs the reference's PRE_BUFFER expert-guidance step (DRL.py:195-276):
+    a uniform expert minibatch rides along with n_expert =
+    min(floor(N/ring_size * batch), batch) valid rows, entirely on device.
+    This is the host loop's learn_guidence workflow at fused-loop speed —
+    the expert corpus is staged to HBM ONCE instead of sampled per update.
+
     With a `grad_axis` agent the round is shard_map-ready (`raw=True` skips
     the jit so parallel.shard.shardmap_fused_round can wrap it): n_envs /
     batch_size / ring capacity are then PER-DEVICE, traj-derived stats are
     psum'd over the axis, and `stride` carries the GLOBAL lane count for
-    record striding."""
+    record striding. (`expert` rows are replicated, not sharded: every
+    device samples its own expert minibatch — expert rows contribute
+    through pmean'd grads exactly like the single-device step.)"""
     from dgvit_tpu.replay.device_per import (per_on_write, per_sample,
                                              per_update)
 
@@ -147,8 +158,33 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
 
         size = jnp.minimum(ring2.cursor, cap)
 
-        metric_keys = ("qf1_loss", "qf2_loss", "policy_loss", "alpha_loss",
-                       "alpha") + (() if prioritized else ("entropy",))
+        if expert is not None:
+            metric_keys = ("qf1_loss", "qf2_loss", "policy_loss",
+                           "alpha_loss", "alpha", "n_expert",
+                           "guidence_weight")
+        else:
+            metric_keys = ("qf1_loss", "qf2_loss", "policy_loss",
+                           "alpha_loss", "alpha") + (
+                () if prioritized else ("entropy",))
+
+        def sample_expert(key):
+            """Uniform expert minibatch + the reference's valid-row count
+            (DRL.py:195): n = min(floor(N/stored * batch), batch), with
+            stored/batch at GLOBAL scale under a sharded round."""
+            n_exp_total = expert["obs"].shape[0]
+            eidx = jax.random.randint(key, (batch_size,), 0, n_exp_total)
+            eb = {k2: v[eidx] for k2, v in expert.items()}
+            g_batch = batch_size
+            g_size = size
+            if agent.grad_axis is not None:
+                nsh = jax.lax.psum(jnp.ones((), jnp.int32), agent.grad_axis)
+                g_batch = batch_size * nsh
+                g_size = size * nsh
+            n_exp = jnp.minimum(
+                jnp.floor(n_exp_total / jnp.maximum(g_size, 1).astype(
+                    jnp.float32) * g_batch),
+                g_batch).astype(jnp.int32)
+            return eb, n_exp
 
         def do_updates(arg):
             st, pr = arg
@@ -156,11 +192,23 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
             def upd(c, k):
                 st, pr = c
                 if prioritized:
-                    ks, _ = jax.random.split(k)
+                    ks, ke, _ = jax.random.split(k, 3)
                     idx, w = per_sample(pr, ks, batch_size, size, beta=beta)
-                    st2, m, td = agent._per_step_impl(
-                        st, ring_gather(ring2, idx), w)
+                    batch = ring_gather(ring2, idx)
+                    if expert is not None:
+                        batch["engage"] = jnp.zeros_like(batch["done"])
+                        eb, n_exp = sample_expert(ke)
+                        st2, m, td = agent._guided_per_step_impl(
+                            st, batch, eb, n_exp, w)
+                    else:
+                        st2, m, td = agent._per_step_impl(st, batch, w)
                     pr = per_update(pr, idx, jnp.abs(td) + 1e-6)
+                elif expert is not None:
+                    ks, ke = jax.random.split(k)
+                    batch = ring_sample(ring2, ks, batch_size)
+                    batch["engage"] = jnp.zeros_like(batch["done"])
+                    eb, n_exp = sample_expert(ke)
+                    st2, m = agent._guided_step_impl(st, batch, eb, n_exp)
                 else:
                     st2, m = agent._train_step_impl(
                         st, ring_sample(ring2, k, batch_size))
@@ -226,7 +274,8 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 ring_capacity: Optional[int] = None,
                 world: Optional[str] = None,
                 max_episodes: Optional[int] = None,
-                resume: bool = False) -> dict:
+                resume: bool = False,
+                expert_glob: Optional[str] = None) -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
@@ -234,6 +283,11 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     episode-count stopping criterion (checked between dispatch segments) so
     a run can match the reference's MAX_EPISODES protocol (config.yaml:10)
     rather than a fixed round budget; `rounds` then acts as a safety cap.
+
+    `expert_glob` (with cfg.train.pre_buffer) stages the demo npz corpus to
+    HBM once and runs every update through the expert-guidance step — the
+    reference's PRE_BUFFER workflow (main.py:223-268, DRL.py:195-276) at
+    fused-loop speed.
 
     resume=True restores the latest train-state checkpoint from the
     checkpoint dir and recovers the cumulative round/goal/episode counters
@@ -269,11 +323,44 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     upr = (n_envs * chunk) if updates_per_round is None else updates_per_round
     cap = ring_capacity or min(s.buffer_size, 8192)
     prioritized = bool(s.prioritized_replay)
+    expert = None
+    if t.pre_buffer and expert_glob:
+        from dgvit_tpu.train.train_rl import load_expert_dataset
+        data = load_expert_dataset(expert_glob)
+        if data is not None:
+            if fs:
+                def to_stack(a):
+                    if a.ndim == 4:
+                        return a.transpose(0, 3, 1, 2)
+                    return np.repeat(a[:, None], fs, axis=1)
+                eobs, enxt = to_stack(data["obs"]), to_stack(data["next_obs"])
+            else:
+                eobs = (data["obs"][..., 0] if data["obs"].ndim == 4
+                        else data["obs"])
+                enxt = (data["next_obs"][..., 0]
+                        if data["next_obs"].ndim == 4 else data["next_obs"])
+            n = eobs.shape[0]
+            # column shapes mirror ring_gather's (rew/done as (N, 1)) so the
+            # gathered expert minibatch matches the agent batch layout
+            expert = {
+                "obs": jnp.asarray(eobs, jnp.float32),
+                "act": jnp.asarray(data["act"], jnp.float32),
+                "pobs": jnp.asarray(data["goal"][:, :2], jnp.float32),
+                "next_pobs": jnp.asarray(data["next_goal"][:, :2],
+                                         jnp.float32),
+                "rew": jnp.asarray(np.resize(data["reward"], (n, 1)),
+                                   jnp.float32),
+                "next_obs": jnp.asarray(enxt, jnp.float32),
+                "done": jnp.asarray(
+                    data["done"].astype(np.float32).reshape(n, 1)),
+            }
+            print(f"[train_fused] expert corpus on device: {n} transitions",
+                  flush=True)
     run = make_fused_round(agent, consts, n_envs, chunk, upr, s.batch_size,
                            l_scale=e.linear_cmd_scale,
                            a_scale=e.angular_cmd_scale,
                            max_action=e.max_action, prioritized=prioritized,
-                           frame_stack=fs)
+                           frame_stack=fs, expert=expert)
     env_carry = vec_reset(consts, n_envs)
     if fs:
         from dgvit_tpu.train.vec_rollout import stack_init
@@ -358,6 +445,9 @@ def main(argv=None):
                         "(reference MAX_EPISODES protocol); --rounds caps")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint + JSONL counters")
+    p.add_argument("--expert-glob", default=None,
+                   help="demo npz glob for on-device expert guidance "
+                        "(needs train.pre_buffer)")
     args = p.parse_args(argv)
     cfg = Config.from_yaml(args.config) if args.config else Config()
     out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,
@@ -365,7 +455,8 @@ def main(argv=None):
                       rounds_per_dispatch=args.rounds_per_dispatch,
                       updates_per_round=args.updates_per_round,
                       ring_capacity=args.ring_capacity, world=args.world,
-                      max_episodes=args.max_episodes, resume=args.resume)
+                      max_episodes=args.max_episodes, resume=args.resume,
+                      expert_glob=args.expert_glob)
     print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
           f"episodes: {out['episodes']}  goals: {out['goals']}  "
           f"collisions: {out['collisions']}  updates: {out['updates']}")

@@ -131,6 +131,49 @@ def test_train_fused_max_episodes(tmp_path):
     assert out["rounds"] < 100   # stopped by the episode criterion
 
 
+def _write_tiny_demos(path, n=24, hw=(32, 40)):
+    """Synthesize a demo npz in the reference's recording schema
+    (demonstration.py:237-245 keys; goal is (N, 4) polar+yaw)."""
+    rng = np.random.default_rng(0)
+    h, w = hw
+    np.savez(path,
+             obs=rng.uniform(0, 1, (n, h, w)).astype(np.float32),
+             act=rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+             goal=rng.uniform(-1, 1, (n, 4)).astype(np.float32),
+             reward=rng.normal(size=(n,)).astype(np.float32),
+             next_obs=rng.uniform(0, 1, (n, h, w)).astype(np.float32),
+             next_goal=rng.uniform(-1, 1, (n, 4)).astype(np.float32),
+             done=np.zeros((n,), np.float32))
+
+
+@pytest.mark.parametrize("per", [False, True])
+def test_train_fused_expert_guidance(tmp_path, per):
+    """The reference's PRE_BUFFER expert-guidance workflow (main.py:223-268,
+    DRL.py:195-276) through the fused on-device loop: the demo corpus is
+    staged to HBM once and every update runs the guided (or guided+PER)
+    step with the dynamic n_expert = min(floor(N/stored*batch), batch)."""
+    demo = tmp_path / "demo_bot_1.npz"
+    _write_tiny_demos(str(demo))
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128,
+                "prioritized_replay": per, "guidence_weight": 3.0},
+        "env": {"max_steps": 8},
+        "train": {"pre_buffer": True, "pre_train": False, "save": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                      rounds=3, rounds_per_dispatch=3, updates_per_round=2,
+                      ring_capacity=64, expert_glob=str(tmp_path / "*.npz"))
+    assert out["rounds"] == 3
+    assert out["updates"] >= 4
+    # the guided step ran: its metric keys landed in the JSONL
+    import json as _json
+    jsonl = [p for p in tmp_path.iterdir() if p.suffix == ".jsonl"]
+    rows = [_json.loads(ln) for ln in jsonl[0].read_text().splitlines()]
+    assert all(np.isfinite(r["qf1_loss"]) for r in rows)
+
+
 def test_train_fused_resume(tmp_path):
     """resume=True restores the checkpointed train state AND the cumulative
     episode/goal counters from the JSONL, so a crashed run can continue
