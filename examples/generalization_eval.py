@@ -67,8 +67,26 @@ def main(argv=None):
     p.add_argument("--bc-params", default=None,
                    help="reuse a saved BC warm-start npz base path (skip "
                         "demos + BC)")
+    p.add_argument("--fused", action="store_true",
+                   help="run the SAC fine-tune through the fully-fused "
+                        "on-device loop (train/fused_train.py) with the "
+                        "demo corpus HBM-staged for expert guidance — the "
+                        "same recipe at dispatch-free speed; --rl-episodes "
+                        "becomes the fused run's MAX_EPISODES budget")
+    p.add_argument("--n-envs", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--vec-eval", action="store_true",
+                   help="single-dispatch vectorized evals (run_eval_vec) "
+                        "instead of the per-step host loop")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax backend (the axon sitecustomize locks "
+                        "the tunneled TPU in; JAX_PLATFORMS alone is "
+                        "ignored — BENCH.md pitfalls)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     out = Path(args.out or tempfile.mkdtemp(prefix="gen_eval_"))
     print(f"workdir: {out}", flush=True)
@@ -131,11 +149,29 @@ def main(argv=None):
         if args.expert_buffer:
             cfg.train.pre_buffer = True
             expert_glob = str(demo_dir / "RRC" / "jax" / "*.npz")
-        env_rl = KinematicNavEnv(seed=1)
-        res = train(cfg, env_rl, out_dir=str(out / "rl"),
-                    max_episodes=args.rl_episodes, expert_glob=expert_glob)
-        print(f"SAC: {res['successes']} goals in {res['episodes']} episodes, "
-              f"max mean reward {res['max_mean_reward']:.1f}", flush=True)
+        if args.fused:
+            from dgvit_tpu.train.fused_train import train_fused
+
+            cfg.train.seed = 1
+            res_f = train_fused(cfg, out_dir=str(out / "rl"),
+                                n_envs=args.n_envs, chunk=args.chunk,
+                                rounds=10 ** 6, rounds_per_dispatch=5,
+                                max_episodes=args.rl_episodes,
+                                expert_glob=expert_glob)
+            res = {"successes": res_f["goals"],
+                   "episodes": res_f["episodes"],
+                   "max_mean_reward": float("nan"), "state": res_f["state"]}
+            print(f"fused SAC: {res_f['goals']} goals / "
+                  f"{res_f['episodes']} episodes / {res_f['updates']} "
+                  f"updates", flush=True)
+        else:
+            env_rl = KinematicNavEnv(seed=1)
+            res = train(cfg, env_rl, out_dir=str(out / "rl"),
+                        max_episodes=args.rl_episodes,
+                        expert_glob=expert_glob)
+            print(f"SAC: {res['successes']} goals in {res['episodes']} "
+                  f"episodes, max mean reward {res['max_mean_reward']:.1f}",
+                  flush=True)
         actor_params = res["state"].actor_params
         hist_note = (f"alpha0={args.alpha_init} expert={args.expert_buffer} "
                      f"gw={args.guidence_weight}"
@@ -146,9 +182,16 @@ def main(argv=None):
     # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
     results = {}
     for world in ("rrc", "hospital"):
-        ev = KinematicNavEnv(seed=7, world=world)
-        r = run_eval(cfg, ev, actor_params, max_episodes=args.eval_episodes,
-                     out_dir=str(out / "eval"), name=f"gen_{world}")
+        if args.vec_eval:
+            from dgvit_tpu.train.evaluate import run_eval_vec
+            r = run_eval_vec(cfg, actor_params,
+                             max_episodes=args.eval_episodes, world=world,
+                             out_dir=str(out / "eval"), name=f"gen_{world}")
+        else:
+            ev = KinematicNavEnv(seed=7, world=world)
+            r = run_eval(cfg, ev, actor_params,
+                         max_episodes=args.eval_episodes,
+                         out_dir=str(out / "eval"), name=f"gen_{world}")
         results[world] = r["success_rate"]
         print(f"[{world}] success rate: {r['success_rate'] * 100:.1f}% "
               f"({r['successes']}/{args.eval_episodes})", flush=True)
