@@ -23,6 +23,8 @@ def test_ring_attention_matches_full(n):
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # seq-shard path only (model.seq_shard); fwd equality
+# stays in the default tier, the dryrun exercises the sharded grad
 def test_ring_attention_grad():
     runtime = MeshRuntime.create(data=1, model=1, seq=8)
     q, k, v = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 2, 64, 16))

@@ -64,7 +64,11 @@ def _assert_close(g_out, g_ref, rtol=1e-4, atol=1e-4):
                                    rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("final_norm", ["rms", "layer"])
+@pytest.mark.parametrize("final_norm", [
+    "rms",
+    pytest.param("layer", marks=pytest.mark.slow),  # OPT-IN path; rms (depth
+    # 3, >1 reversed-loop iteration) is the default-tier gradient gate
+])
 def test_trunk_bwd_matches_composed(final_norm):
     """Full param-tree + goal gradients through the fused path (blocks
     kernel fwd, ONE trunk kernel bwd) vs the composed flax model. The rms
@@ -75,6 +79,7 @@ def test_trunk_bwd_matches_composed(final_norm):
                   _grads(got, params, img, goal, fused=False))
 
 
+@pytest.mark.slow  # OPT-IN trunk path; composed-model gate covers default tier
 def test_trunk_bwd_matches_xla_twin():
     """Same fused forward, backward via the trunk kernel vs jax.vjp of the
     unfused XLA twin (DGVIT_TRUNK_BWD=xla debugging fallback)."""

@@ -177,8 +177,12 @@ def arm_fused():
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--arms", default="host,device,vec,fused",
-                   help="comma-separated subset of host,device,vec,fused")
+    p.add_argument("--arms", default="host,vec,fused,device",
+                   help="comma-separated subset of host,vec,fused,device; "
+                        "device (io_callback) runs LAST by default: on the "
+                        "tunneled backend it reproducibly dies with a TPU "
+                        "backend setup/compile error and poisons later "
+                        "compiles in the same process")
     args = p.parse_args(argv)
     arms = [a.strip() for a in args.arms.split(",") if a.strip()]
 
