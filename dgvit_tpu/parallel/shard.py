@@ -188,7 +188,7 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
                          batch_size: int, ring_capacity: int,
                          l_scale: float, a_scale: float,
                          max_action: float = 1.0,
-                         prioritized: bool = False):
+                         prioritized: bool = False, expert=None):
     """The ENTIRE fused training loop (train/fused_train.py: collect ->
     replay ring -> SAC updates) under the device mesh — distributed RL with
     zero host involvement per round.
@@ -201,7 +201,11 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
     batch is uniform over the union, but a given device's rows never mix
     into another's — a documented deviation from single-device uniform
     sampling (exact equality is impossible here; lane independence and the
-    update math are equality-gated separately).
+    update math are equality-gated separately). `expert` (device-resident
+    demo transitions, see make_fused_round) is closed over as a replicated
+    constant: every device samples its own expert minibatch and the guided
+    step's n_expert/guidance-loss normalizations run at GLOBAL scale via
+    the psums already inside _guided_core.
 
     Returns (run, init): run(state, env_carry, ring, rng, rounds_arr) — one
     jitted dispatch for R rounds; init() -> (env_carry, ring) global-shaped.
@@ -224,7 +228,7 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
         agent, consts, n_envs // n_data, chunk,
         updates_per_round, batch_size // n_data,
         l_scale, a_scale, max_action=max_action, raw=True, stride=n_envs,
-        prioritized=prioritized)
+        prioritized=prioritized, expert=expert)
 
     repl, laneP = P(), P(AXIS_DATA)
     carry_spec = (VecState(*([laneP] * len(VecState._fields))), laneP, laneP)

@@ -23,16 +23,16 @@ assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 # Persistent compilation cache: the tier is compile-bound (VERDICT r2 Weak
 # #7); repeated runs re-lower identical jaxprs. Cache compiled executables
 # under .jax_cache so the second-and-later full runs skip XLA compilation.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-except Exception:  # older jax without these flags
-    pass
-
+# platform_tag='cpu': tunnel-backend executables embed REMOTE-host AOT
+# code (AMX machine) — loading them in a CPU process risks SIGILL, so the
+# dirs are segregated (utils/compcache.py)
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dgvit_tpu.utils.compcache import enable_persistent_cache
+
+enable_persistent_cache(platform_tag="cpu")
+
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
