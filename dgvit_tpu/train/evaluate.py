@@ -125,10 +125,23 @@ def _run_eval_device(cfg: Config, env: Env, actor_params, max_episodes: int,
     total_rel = max_episodes
     durations = []
     for ep in range(max_episodes):
-        out = device_rollout(agent, state, env, e.max_steps,
-                             e.linear_cmd_scale, e.angular_cmd_scale,
-                             jax.random.PRNGKey(cfg.train.seed + ep),
-                             evaluate=True)
+        try:
+            out = device_rollout(agent, state, env, e.max_steps,
+                                 e.linear_cmd_scale, e.angular_cmd_scale,
+                                 jax.random.PRNGKey(cfg.train.seed + ep),
+                                 evaluate=True)
+        except jax.errors.JaxRuntimeError as err:
+            if ep == 0 and "UNAVAILABLE" in str(err):
+                # known limitation: host callbacks cannot cross the tunneled
+                # PJRT backend (the remote runtime can't call back into this
+                # process), so the io_callback program fails at setup — fall
+                # back to the host loop rather than dying (BENCH.md pitfalls)
+                print("[evaluate] io_callback unsupported on this backend "
+                      f"({err}); falling back to the host loop", flush=True)
+                return run_eval(cfg, env, actor_params,
+                                max_episodes=max_episodes,
+                                out_dir=out_dir, name=name)
+            raise
         dones = np.asarray(out.dones)
         targets = np.asarray(out.targets)
         if dones[0] > 0:

@@ -110,6 +110,32 @@ def test_evaluate_driver(tmp_path):
     assert (tmp_path / "testing_data.txt").exists()
 
 
+def test_device_rollout_eval_falls_back_on_unavailable(tmp_path, monkeypatch):
+    """io_callback programs cannot run over the tunneled PJRT backend
+    (reproducible UNAVAILABLE at setup); --device-rollout must fall back to
+    the host loop instead of dying."""
+    import jax
+
+    from dgvit_tpu.models import build_actor
+    from dgvit_tpu.train import evaluate as ev_mod
+    from dgvit_tpu.train import device_rollout as dr_mod
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "UNAVAILABLE: TPU backend setup/compile error (Unavailable).")
+
+    monkeypatch.setattr(dr_mod, "device_rollout", boom)
+    cfg = tiny_cfg(tmp_path)
+    cfg.env.max_steps = 10
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(0), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    env = KinematicNavEnv(seed=5, image_hw=(32, 40))
+    out = ev_mod.run_eval(cfg, env, params, max_episodes=2,
+                          out_dir=str(tmp_path), device_rollout_loop=True)
+    assert "success_rate" in out    # host-loop fallback produced the report
+
+
 def test_offline_training_from_demos(tmp_path):
     """BASELINE config #5: replay sample -> augment -> update, Gazebo-free."""
     from dgvit_tpu.train.train_offline import (
