@@ -180,12 +180,13 @@ def arm_fused():
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--arms", default="host,vec,fused,device",
+    p.add_argument("--arms", default="host,vec,fused",
                    help="comma-separated subset of host,vec,fused,device; "
-                        "device (io_callback) runs LAST by default: on the "
-                        "tunneled backend it reproducibly dies with a TPU "
-                        "backend setup/compile error and poisons later "
-                        "compiles in the same process")
+                        "the device (io_callback) arm is EXCLUDED by "
+                        "default: host callbacks cannot cross the tunneled "
+                        "PJRT backend — the program dies at setup with a "
+                        "TPU backend error (sometimes hanging first), and "
+                        "poisons later compiles in the same process")
     args = p.parse_args(argv)
     arms = [a.strip() for a in args.arms.split(",") if a.strip()]
 
