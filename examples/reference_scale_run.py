@@ -42,6 +42,11 @@ def main(argv=None):
                         "episode budget with the whole round on device")
     p.add_argument("--n-envs", type=int, default=16)
     p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--world", default="rrc", choices=["rrc", "hospital"],
+                   help="arena preset for training AND eval (the hospital "
+                        "layout is the reference's generalization world, "
+                        "README.md:43-51; here it can be trained on "
+                        "directly at reference scale)")
     p.add_argument("--host-eval", action="store_true",
                    help="final eval via the per-step host loop instead of "
                         "the single-dispatch vectorized eval (run_eval_vec; "
@@ -80,7 +85,8 @@ def main(argv=None):
         res_f = train_fused(
             cfg, out_dir=args.out, n_envs=args.n_envs, chunk=args.chunk,
             rounds=10 ** 6, rounds_per_dispatch=5,
-            max_episodes=args.episodes, resume=args.resume)
+            max_episodes=args.episodes, resume=args.resume,
+            world=args.world)
         train_wall = time.time() - t0
         res = {"successes": res_f["goals"], "episodes": res_f["episodes"],
                "max_mean_reward": float("nan"), "state": res_f["state"]}
@@ -89,7 +95,8 @@ def main(argv=None):
               f"{res_f['updates']} updates in {train_wall / 3600:.2f} h",
               flush=True)
     else:
-        env = KinematicNavEnv(seed=3407)    # reference SEED (config.yaml:7)
+        env = KinematicNavEnv(seed=3407,     # reference SEED (config.yaml:7)
+                              world=args.world)
         res = train(cfg, env, out_dir=args.out, max_episodes=args.episodes,
                     resume=args.resume)
         train_wall = time.time() - t0
@@ -98,7 +105,7 @@ def main(argv=None):
               f"{res['max_mean_reward']:.1f}", flush=True)
 
     if args.host_eval:
-        ev = KinematicNavEnv(seed=7)
+        ev = KinematicNavEnv(seed=7, world=args.world)
         r = run_eval(cfg, ev, res["state"].actor_params,
                      max_episodes=args.eval_episodes, out_dir=args.out,
                      name="ref_scale_eval")
@@ -107,10 +114,11 @@ def main(argv=None):
         # backend the per-step host loop would cost hours
         cfg.train.seed = 7  # eval record table seed (matches the old env)
         r = run_eval_vec(cfg, res["state"].actor_params,
-                         max_episodes=args.eval_episodes, world="rrc",
+                         max_episodes=args.eval_episodes, world=args.world,
                          out_dir=args.out, name="ref_scale_eval")
     summary = {
         "mode": "fused" if args.fused else "host_loop",
+        "world": args.world,
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],
         "max_mean_reward": (None if args.fused
