@@ -188,7 +188,7 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
                          batch_size: int, ring_capacity: int,
                          l_scale: float, a_scale: float,
                          max_action: float = 1.0,
-                         prioritized: bool = False, expert=None):
+                         prioritized: bool = False, guided: bool = False):
     """The ENTIRE fused training loop (train/fused_train.py: collect ->
     replay ring -> SAC updates) under the device mesh — distributed RL with
     zero host involvement per round.
@@ -201,14 +201,18 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
     batch is uniform over the union, but a given device's rows never mix
     into another's — a documented deviation from single-device uniform
     sampling (exact equality is impossible here; lane independence and the
-    update math are equality-gated separately). `expert` (device-resident
-    demo transitions, see make_fused_round) is closed over as a replicated
-    constant: every device samples its own expert minibatch and the guided
-    step's n_expert/guidance-loss normalizations run at GLOBAL scale via
-    the psums already inside _guided_core.
+    update math are equality-gated separately). With `guided=True`, `run`
+    takes the device-resident expert corpus (see make_fused_round) as its
+    LAST positional argument, replicated over the mesh: every device
+    samples its own expert minibatch and the guided step's
+    n_expert/guidance-loss normalizations run at GLOBAL scale via the
+    psums already inside _guided_core. (A runtime argument, not a closure
+    capture — a closed-over corpus is baked into the HLO as a ~430 MB
+    literal that stalls the remote compile; see make_fused_round.)
 
-    Returns (run, init): run(state, env_carry, ring, rng, rounds_arr) — one
-    jitted dispatch for R rounds; init() -> (env_carry, ring) global-shaped.
+    Returns (run, init): run(state, env_carry, ring, rng, rounds_arr
+    [, per][, expert]) — one jitted dispatch for R rounds; init() ->
+    (env_carry, ring[, per]) global-shaped.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -228,7 +232,7 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
         agent, consts, n_envs // n_data, chunk,
         updates_per_round, batch_size // n_data,
         l_scale, a_scale, max_action=max_action, raw=True, stride=n_envs,
-        prioritized=prioritized, expert=expert)
+        prioritized=prioritized, guided=guided)
 
     repl, laneP = P(), P(AXIS_DATA)
     carry_spec = (VecState(*([laneP] * len(VecState._fields))), laneP, laneP)
@@ -244,7 +248,20 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
     if prioritized:
         in_specs.append(per_spec)
         out_specs.append(per_spec)
-    sharded = shard_map(run_local, mesh=runtime.mesh,
+    if guided:
+        in_specs.append(repl)  # prefix spec: expert corpus replicated
+
+    def local(*args):
+        per = exp = None
+        i = 5
+        if prioritized:
+            per = args[i]
+            i += 1
+        if guided:
+            exp = args[i]
+        return run_local(*args[:5], per, exp)
+
+    sharded = shard_map(local, mesh=runtime.mesh,
                         in_specs=tuple(in_specs),
                         out_specs=tuple(out_specs), check_vma=False)
     step = jax.jit(sharded, donate_argnums=(0, 1, 2))
@@ -256,8 +273,10 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
             return env_carry, ring, per_init(ring_capacity)
         return env_carry, ring
 
-    def run(state, env_carry, ring, rng, rounds_arr, *per):
+    def run(state, env_carry, ring, rng, rounds_arr, *extra):
+        # extra: per-state (when prioritized), then expert corpus (when
+        # guided) — both positional, matching in_specs order
         with use_mesh(runtime.mesh):
-            return step(state, env_carry, ring, rng, rounds_arr, *per)
+            return step(state, env_carry, ring, rng, rounds_arr, *extra)
 
     return run, init

@@ -111,21 +111,26 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      stride: Optional[int] = None,
                      prioritized: bool = False, beta: float = 0.4,
                      frame_stack: int = 0,
-                     expert: Optional[Dict[str, jax.Array]] = None):
-    """Build `run(state, env_carry, ring, rng, rounds)`: R rounds of
-    [collect chunk -> ring write -> U updates] as ONE jitted dispatch.
-    Returns (state, env_carry, ring, stats) with stats arrays shaped (R,).
-    `env_carry` is (vec_reset carry, DevicePER) when `prioritized` —
+                     guided: bool = False):
+    """Build `run(state, env_carry, ring, rng, rounds, per=None,
+    expert=None)`: R rounds of [collect chunk -> ring write -> U updates]
+    as ONE jitted dispatch. Returns (state, env_carry, ring, stats) with
+    stats arrays shaped (R,). `per` is a DevicePER when `prioritized` —
     proportional sampling + IS weights + |td| priority updates entirely on
     device (replay/device_per.py), the full PER protocol without a host.
 
-    `expert`: device-resident expert transitions (dict of (N, ...) arrays
-    with the ring's field names; 'act' = expert action) — each update then
-    runs the reference's PRE_BUFFER expert-guidance step (DRL.py:195-276):
-    a uniform expert minibatch rides along with n_expert =
-    min(floor(N/ring_size * batch), batch) valid rows, entirely on device.
-    This is the host loop's learn_guidence workflow at fused-loop speed —
-    the expert corpus is staged to HBM ONCE instead of sampled per update.
+    `guided=True` enables the reference's PRE_BUFFER expert-guidance step
+    (DRL.py:195-276): every `run` call then REQUIRES `expert`, a
+    device-resident dict of (N, ...) arrays with the ring's field names
+    ('act' = expert action). Each update samples a uniform expert
+    minibatch with n_expert = min(floor(N/ring_size * batch), batch)
+    valid rows, entirely on device — the host loop's learn_guidence
+    workflow at fused-loop speed; the corpus is staged to HBM ONCE.
+    The corpus is a RUNTIME ARGUMENT, never a closure capture: a
+    closed-over jnp array is baked into the lowered module as a literal
+    constant, and a real demo corpus (2.6k transitions at 128x160 =
+    ~430 MB of obs) ballooned the remote TPU compile indefinitely
+    (observed round 3: the guided program never finished compiling).
 
     With a `grad_axis` agent the round is shard_map-ready (`raw=True` skips
     the jit so parallel.shard.shardmap_fused_round can wrap it): n_envs /
@@ -141,7 +146,7 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                               max_action=max_action, stride=stride,
                               frame_stack=frame_stack)
 
-    def round_body(carry, _):
+    def round_body(carry, _, expert=None):
         state, env_carry, ring, per, rng = carry
         rng, k_coll, k_upd = jax.random.split(rng, 3)
         env_carry, traj = collect(state.actor_params, env_carry, k_coll)
@@ -158,7 +163,7 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
 
         size = jnp.minimum(ring2.cursor, cap)
 
-        if expert is not None:
+        if guided:
             metric_keys = ("qf1_loss", "qf2_loss", "policy_loss",
                            "alpha_loss", "alpha", "n_expert",
                            "guidence_weight")
@@ -167,7 +172,7 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                            "alpha_loss", "alpha") + (
                 () if prioritized else ("entropy",))
 
-        def sample_expert(key):
+        def sample_expert(key):  # uses the traced `expert` runtime arg
             """Uniform expert minibatch + the reference's valid-row count
             (DRL.py:195): n = min(floor(N/stored * batch), batch), with
             stored/batch at GLOBAL scale under a sharded round."""
@@ -195,7 +200,7 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                     ks, ke, _ = jax.random.split(k, 3)
                     idx, w = per_sample(pr, ks, batch_size, size, beta=beta)
                     batch = ring_gather(ring2, idx)
-                    if expert is not None:
+                    if guided:
                         batch["engage"] = jnp.zeros_like(batch["done"])
                         eb, n_exp = sample_expert(ke)
                         st2, m, td = agent._guided_per_step_impl(
@@ -203,7 +208,7 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                     else:
                         st2, m, td = agent._per_step_impl(st, batch, w)
                     pr = per_update(pr, idx, jnp.abs(td) + 1e-6)
-                elif expert is not None:
+                elif guided:
                     ks, ke = jax.random.split(k)
                     batch = ring_sample(ring2, ks, batch_size)
                     batch["engage"] = jnp.zeros_like(batch["done"])
@@ -251,11 +256,15 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
         return (state, env_carry, ring2, per, rng), stats
 
     def run(state: SACTrainState, env_carry, ring: DeviceRing,
-            rng: jax.Array, rounds_arr: jax.Array, per=None):
+            rng: jax.Array, rounds_arr: jax.Array, per=None, expert=None):
         if per is None:
             per = jnp.float32(0.0)  # unused placeholder leaf
+        if guided and expert is None:
+            raise ValueError("this fused round was built with guided=True; "
+                             "pass the staged expert corpus at call time")
+        body = partial(round_body, expert=expert)
         (state, env_carry, ring, per, rng), stats = jax.lax.scan(
-            round_body, (state, env_carry, ring, per, rng), rounds_arr)
+            body, (state, env_carry, ring, per, rng), rounds_arr)
         if prioritized:
             return state, env_carry, ring, stats, per
         return state, env_carry, ring, stats
@@ -360,7 +369,7 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                            l_scale=e.linear_cmd_scale,
                            a_scale=e.angular_cmd_scale,
                            max_action=e.max_action, prioritized=prioritized,
-                           frame_stack=fs, expert=expert)
+                           frame_stack=fs, guided=expert is not None)
     env_carry = vec_reset(consts, n_envs)
     if fs:
         from dgvit_tpu.train.vec_rollout import stack_init
@@ -399,10 +408,10 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
         seg = min(rounds_per_dispatch, rounds - done_rounds)
         if prioritized:
             state, env_carry, ring, stats, per = run(
-                state, env_carry, ring, rng, jnp.arange(seg), per)
+                state, env_carry, ring, rng, jnp.arange(seg), per, expert)
         else:
             state, env_carry, ring, stats = run(state, env_carry, ring, rng,
-                                                jnp.arange(seg))
+                                                jnp.arange(seg), None, expert)
         rng = jax.random.fold_in(rng, done_rounds)
         host = {k: np.asarray(v) for k, v in stats.items()}
         for i in range(seg):
