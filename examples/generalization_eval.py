@@ -75,6 +75,12 @@ def main(argv=None):
                         "becomes the fused run's MAX_EPISODES budget")
     p.add_argument("--n-envs", type=int, default=16)
     p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--dim", type=int, default=64,
+                   help="GoT latent dim (tools/bench_d128.py: d128 costs "
+                        "~the same wall-clock as d64 on v5e — capacity is "
+                        "free; a non-64 dim re-fits BC, so --bc-params from "
+                        "a d64 run cannot be reused)")
+    p.add_argument("--dim-head", type=int, default=64)
     p.add_argument("--vec-eval", action="store_true",
                    help="single-dispatch vectorized evals (run_eval_vec) "
                         "instead of the per-step host loop")
@@ -93,6 +99,10 @@ def main(argv=None):
 
     cfg = Config()
     cfg.model.compute_dtype = "bfloat16"  # TPU fast path
+    cfg.model.latent_size = args.dim
+    cfg.model.dim_head = args.dim_head
+    if args.dim != 64:
+        assert not args.bc_params, "--bc-params is a d64 fit; drop it with --dim"
     cfg.train.pre_buffer = False
     cfg.train.plot_interval = 10 ** 9
     cfg.train.eval_threshold = 10 ** 9   # no mid-train eval pauses
@@ -123,7 +133,8 @@ def main(argv=None):
         obs, act, goal = load_bc_dataset(str(demo_dir / "RRC" / "jax" / "*.npz"))
         print(f"BC dataset: {obs.shape[0]} transitions", flush=True)
 
-        policy = GoTPolicy(final_norm="rms", emb_dropout=0.0)
+        policy = GoTPolicy(final_norm="rms", emb_dropout=0.0,
+                           l_f_size=args.dim, dim_head=args.dim_head)
         tr = BCTrainer(model=policy, batch_size=64, seed=1)
         best, hist = tr.fit(obs, goal, act, epochs=args.bc_epochs, to_chw=False)
         print(f"BC val RMSE: {min(hist['val']):.4f}", flush=True)
