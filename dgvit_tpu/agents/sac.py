@@ -579,14 +579,17 @@ class SACAgent:
             # report neutral priorities for a rolled-back step. "Neutral"
             # must be scale-aware (typical |td| >> 1 at the ±200 reward
             # scale, so a fixed 1.0 would sharply demote affected rows):
-            # use the batch mean of the finite |td| values, falling back to
+            # use the batch mean of the finite |td| values (hosts apply
+            # abs() before update_priorities, so a signed mean would land
+            # near zero and demote the rows anyway), falling back to
             # 1.0 only when the whole batch went non-finite.
             bad = metrics["skipped_nonfinite"] > 0
             finite = jnp.isfinite(td)
             n_fin = jnp.sum(finite.astype(jnp.float32))
             neutral = jnp.where(
                 n_fin > 0,
-                jnp.sum(jnp.where(finite, td, 0.0)) / jnp.maximum(n_fin, 1.0),
+                jnp.sum(jnp.where(finite, jnp.abs(td), 0.0))
+                / jnp.maximum(n_fin, 1.0),
                 1.0)
             td = jnp.where(jnp.logical_or(bad, ~finite), neutral, td)
         return state, metrics, td
@@ -729,7 +732,8 @@ class SACAgent:
             n_fin = jnp.sum(finite.astype(jnp.float32))
             neutral = jnp.where(
                 n_fin > 0,
-                jnp.sum(jnp.where(finite, td, 0.0)) / jnp.maximum(n_fin, 1.0),
+                jnp.sum(jnp.where(finite, jnp.abs(td), 0.0))
+                / jnp.maximum(n_fin, 1.0),
                 1.0)
             td = jnp.where(jnp.logical_or(bad, ~finite), neutral, td)
         return state, metrics, td

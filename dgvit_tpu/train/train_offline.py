@@ -93,7 +93,9 @@ def train_offline(cfg: Config, buf, steps: int = 1000,
                 idx = np.asarray(batch.pop("indexes"))
                 w = batch.pop("weights")
                 state, metrics, td = agent.learn_per(state, batch, w)
-                buf.update_priorities(idx, np.asarray(td) + 1e-6)
+                # |TD error| + eps — a signed td would feed negative
+                # priorities into the sum tree (matches train_rl.py)
+                buf.update_priorities(idx, np.abs(np.asarray(td)) + 1e-6)
             else:
                 batch.pop("weights", None)
                 batch.pop("indexes", None)

@@ -312,6 +312,35 @@ def test_nan_guard_per_td_errors_stay_finite():
     assert np.isfinite(np.asarray(td)).all()
 
 
+@pytest.mark.slow
+def test_nan_guard_neutral_priority_is_scale_aware():
+    """ADVICE r2: rolled-back PER steps must report a neutral priority at
+    the batch's own |td| scale — a fixed 1.0 (or a signed mean, which the
+    host-side abs() would collapse toward 0) sharply demotes the affected
+    rows when typical |td| >> 1. Poison HALF the batch so finite rows exist;
+    the neutral must equal the mean of the finite |td|."""
+    raw = SACAgent(tiny_cfg(prioritized_replay=True))
+    state0 = raw.init_state(14)
+    half_bad = make_batch(jax.random.PRNGKey(31))
+    # rewards at the reference's +-200 scale so |td| >> 1
+    rew = np.full((B, 1), 200.0, np.float32)
+    rew[: B // 2] = np.inf
+    half_bad["rew"] = jnp.asarray(rew)
+    _, _, td_raw = raw.learn_per(state0, half_bad, jnp.ones((B,)))
+    td_raw = np.asarray(td_raw)
+    finite = np.isfinite(td_raw)
+    assert finite.any() and not finite.all()
+    expected = np.abs(td_raw[finite]).mean()
+    assert expected > 1.0  # the scale premise: a fixed 1.0 WOULD demote
+
+    guarded = SACAgent(tiny_cfg(nan_guard=True, prioritized_replay=True))
+    state1 = guarded.init_state(14)  # identical params to state0
+    _, m, td = guarded.learn_per(state1, half_bad, jnp.ones((B,)))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    np.testing.assert_allclose(np.asarray(td),
+                               np.full(B, expected, np.float32), rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # critic_latent_reuse (perf opt-in, round 3): actor loss on the PRE-update
 # critic via the stashed trunk latent
