@@ -78,9 +78,14 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=64,
                    help="GoT latent dim (tools/bench_d128.py: d128 costs "
                         "~the same wall-clock as d64 on v5e — capacity is "
-                        "free; a non-64 dim re-fits BC, so --bc-params from "
-                        "a d64 run cannot be reused)")
+                        "free; pair --bc-params only with a fit at the same "
+                        "dim)")
     p.add_argument("--dim-head", type=int, default=64)
+    p.add_argument("--train-world", default="rrc",
+                   choices=["rrc", "hospital"],
+                   help="arena for the SAC fine-tune stage (demos/BC stay "
+                        "RRC — training on hospital turns the experiment "
+                        "into guided direct training on the harder world)")
     p.add_argument("--vec-eval", action="store_true",
                    help="single-dispatch vectorized evals (run_eval_vec) "
                         "instead of the per-step host loop")
@@ -101,8 +106,8 @@ def main(argv=None):
     cfg.model.compute_dtype = "bfloat16"  # TPU fast path
     cfg.model.latent_size = args.dim
     cfg.model.dim_head = args.dim_head
-    if args.dim != 64:
-        assert not args.bc_params, "--bc-params is a d64 fit; drop it with --dim"
+    # NB --bc-params must come from a fit at the SAME --dim; the npz loader
+    # shape-asserts every leaf, so a mismatched reuse fails loudly at load
     cfg.train.pre_buffer = False
     cfg.train.plot_interval = 10 ** 9
     cfg.train.eval_threshold = 10 ** 9   # no mid-train eval pauses
@@ -168,7 +173,8 @@ def main(argv=None):
                                 n_envs=args.n_envs, chunk=args.chunk,
                                 rounds=10 ** 6, rounds_per_dispatch=5,
                                 max_episodes=args.rl_episodes,
-                                expert_glob=expert_glob)
+                                expert_glob=expert_glob,
+                                world=args.train_world)
             res = {"successes": res_f["goals"],
                    "episodes": res_f["episodes"],
                    "max_mean_reward": float("nan"), "state": res_f["state"]}
@@ -176,7 +182,7 @@ def main(argv=None):
                   f"{res_f['episodes']} episodes / {res_f['updates']} "
                   f"updates", flush=True)
         else:
-            env_rl = KinematicNavEnv(seed=1)
+            env_rl = KinematicNavEnv(seed=1, world=args.train_world)
             res = train(cfg, env_rl, out_dir=str(out / "rl"),
                         max_episodes=args.rl_episodes,
                         expert_glob=expert_glob)
@@ -188,7 +194,10 @@ def main(argv=None):
                      f"gw={args.guidence_weight}"
                      + (f"->{args.gw_final}@{args.gw_decay_steps}"
                         if args.gw_final is not None else "")
-                     + (" per" if args.per else ""))
+                     + (" per" if args.per else "")
+                     + (f" d={args.dim}" if args.dim != 64 else "")
+                     + (f" train_world={args.train_world}"
+                        if args.train_world != "rrc" else ""))
 
     # ---- 3. evals: seen (rrc) vs unseen (hospital) --------------------------
     results = {}
