@@ -55,7 +55,9 @@ def enable_persistent_cache(path: str | None = None,
         path = cache_dir(platform_tag)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0.1 s: the single-core CI host pays for every sub-second compile
+        # too — at 0.5 s dozens of small jits re-lowered on each tier run
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # pragma: no cover - older jax
         pass
