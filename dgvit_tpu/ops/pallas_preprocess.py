@@ -105,6 +105,32 @@ assert np.abs(_A2_FULL[_BAND_ROW0 + _BAND_ROWS:]).max() == 0.0
 _A2 = np.ascontiguousarray(_A2_FULL[_BAND_ROW0:_BAND_ROW0 + _BAND_ROWS])
 
 
+def _add_noise(x, noise_level: float):
+    """Gaussian noise: Irwin-Hall(12) over the per-core PRNG — sum of 12
+    uniforms minus mean is N(0,1) to high accuracy (exact mean/variance,
+    support +-6 sigma) with ZERO transcendentals. The 12 uniforms are 4
+    independent BYTES from each of THREE 32-bit draws (sum of 12 discrete
+    U{0..255}: mean 1530, std 255.998) — 3 PRNG passes instead of 12; the
+    1/256-sigma granularity disappears under the 5x5/11x11 blur taps
+    downstream. Measured NEGATIVE results (tools/ablate_noise.py, do not
+    repeat): Irwin-Hall(3) from three full int32 draws fma'd into x in
+    place — fewer VPU passes on paper — is SLOWER (60.1k frames/s full-res
+    which also OOMs scoped VMEM past fb=2; 66.3k with (H/2, W) halved
+    draws) than this byte scheme's 67.7k at fb=4; the int32 mask/shift/add
+    unpack is cheaper on the VPU than f32 fma passes, and the live int32
+    accumulator is not what binds VMEM at fb=4."""
+    acc = jnp.zeros(x.shape, jnp.int32)
+    for _ in range(3):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
+        # arithmetic shift on negatives fills ones; & 255 strips them
+        acc = acc + jnp.bitwise_and(bits, 255) \
+            + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 8), 255) \
+            + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 16), 255) \
+            + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 24), 255)
+    z = (acc.astype(jnp.float32) - 1530.0) * (1.0 / 255.9980469)
+    return jnp.clip(x + noise_level * z, 0.0, 255.0)
+
+
 def _kernel(seed_ref, raw_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
             noise_level: float, fb: int):
     for f in range(fb):
@@ -116,26 +142,10 @@ def _kernel(seed_ref, raw_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref, *,
         x = jnp.clip(jnp.floor((x - lo) * (255.0 / jnp.maximum(hi - lo, 1e-20))),
                      0.0, 255.0)
 
-        # 2. Gaussian noise: Irwin-Hall(12) over the per-core PRNG — sum of
-        #    12 uniforms minus mean is N(0,1) to high accuracy (exact
-        #    mean/variance, support +-6 sigma) with ZERO transcendentals.
-        #    The 12 uniforms are 4 independent BYTES from each of THREE
-        #    32-bit draws (sum of 12 discrete U{0..255}: mean 1530, std
-        #    255.998) — 3 PRNG passes instead of 12; the 1/256-sigma
-        #    granularity disappears under the 5x5/11x11 blur taps downstream.
+        # 2. Gaussian noise (see _add_noise); seeded per frame
         if noise_level > 0.0:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * fb + f)
-            acc = jnp.zeros((H_IN, W_IN), jnp.int32)
-            for _ in range(3):
-                bits = pltpu.bitcast(pltpu.prng_random_bits((H_IN, W_IN)),
-                                     jnp.int32)
-                # arithmetic shift on negatives fills ones; & 255 strips them
-                acc = acc + jnp.bitwise_and(bits, 255) \
-                    + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 8), 255) \
-                    + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 16), 255) \
-                    + jnp.bitwise_and(jax.lax.shift_right_arithmetic(bits, 24), 255)
-            z = (acc.astype(jnp.float32) - 1530.0) * (1.0 / 255.9980469)
-            x = jnp.clip(x + noise_level * z, 0.0, 255.0)
+            x = _add_noise(x, noise_level)
 
         # 3.-5. blur5 -> band blur11 -> 4x downscale: the whole linear tail
         #    as two constant matmul pairs on the MXU (see _fold_matrices),
@@ -176,12 +186,13 @@ def preprocess_depth_auto(raw, seed: int, noise_level: float = 50.0):
 
 
 def _frame_tile(b: int) -> int:
-    """Frames per kernel program. fb=2 halves per-program overhead (PRNG
-    seeds, grid bookkeeping) and fits VMEM after the 3-draw noise scheme cut
-    the live temps; override with DGVIT_PP_FB for experiments. Measured on
-    v5e (seed-serialized harness, batch 256): fb=1 58.9k, fb=2 52.9k (Mosaic
-    pipelining quirk — slower than fb=1), fb=4 62.5k frames/s, fb=8 VMEM
-    OOM."""
+    """Frames per kernel program. Larger tiles amortize per-program overhead
+    (PRNG seeds, grid bookkeeping); override with DGVIT_PP_FB for
+    experiments. Measured on v5e (seed-serialized harness, batch 256,
+    session 6 re-run on a quiet chip): fb=1 62.9k, fb=2 64.3k, fb=4 67.7k
+    frames/s, fb=8 fails to compile (remote Mosaic compiler dies on the
+    8x-unrolled body; the double-buffered 8-frame input block would also
+    exceed scoped VMEM)."""
     import os
 
     fb = int(os.environ.get("DGVIT_PP_FB", "4"))

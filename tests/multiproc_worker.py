@@ -32,7 +32,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def emit(name, **kw):
-    print("RESULT " + json.dumps({"scenario": name, **kw}), flush=True)
+    """One RESULT row per scenario. Rows go to the DGVIT_MP_OUT file when
+    set (append + line-buffered): stdout/stderr are MERGED in the parent's
+    pipe, and under host load XLA warnings interleave mid-line with RESULT
+    rows, corrupting the JSON (observed as json.decoder errors in
+    test_multiprocess when a fused TPU run shared the host). stdout keeps a
+    copy for human debugging only."""
+    line = "RESULT " + json.dumps({"scenario": name, **kw})
+    out = os.environ.get("DGVIT_MP_OUT")
+    if out:
+        with open(out, "a") as f:
+            f.write(line + "\n")
+    print(line, flush=True)
 
 
 def main():

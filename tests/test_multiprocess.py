@@ -59,8 +59,13 @@ def worker_results(tmp_path_factory):
         "DGVIT_MP_CKPT_DIR": str(ckdir),
     })
     procs = []
+    out_files = []
     for i in range(NPROC):
-        e = dict(env, PROCESS_ID=str(i))
+        # RESULT rows ride a per-process FILE, not the merged stdout pipe —
+        # under load, warning writes interleave mid-line and corrupt the
+        # JSON (see multiproc_worker.emit)
+        out_files.append(ckdir / f"results_{i}.jsonl")
+        e = dict(env, PROCESS_ID=str(i), DGVIT_MP_OUT=str(out_files[-1]))
         procs.append(subprocess.Popen(
             [sys.executable, str(WORKER)], env=e, cwd=str(REPO),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -77,7 +82,7 @@ def worker_results(tmp_path_factory):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         rows = {}
-        for line in out.splitlines():
+        for line in out_files[i].read_text().splitlines():
             if line.startswith("RESULT "):
                 row = json.loads(line[len("RESULT "):])
                 rows[row.pop("scenario")] = row
