@@ -364,9 +364,15 @@ class ViTDeterministicPolicy(nn.Module):
 # Factories
 # --------------------------------------------------------------------------
 
-def build_actor(cfg, dtype=None) -> nn.Module:
+def build_actor(cfg, dtype=None, attn_impl: str = "auto") -> nn.Module:
     """cfg: config.ModelConfig + sac dims. Maps the reference's actor_type
-    strings (config.yaml:51-63, DRL.py:126-169) to modules."""
+    strings (config.yaml:51-63, DRL.py:126-169) to modules.
+
+    attn_impl='xla' forces the composed XLA block path on the
+    transformer-backed actors (no Pallas custom calls) — required for
+    portable AOT export (serve/export.py): the fused kernels are
+    TPU-specific custom calls AND shape-specialized, so an exported
+    artifact must trace the pure-StableHLO path."""
     from dgvit_tpu.config import Config
 
     if isinstance(cfg, Config):
@@ -374,7 +380,8 @@ def build_actor(cfg, dtype=None) -> nn.Module:
     else:
         m, s = cfg.model, cfg.sac  # duck-typed
     common = dict(action_dim=s.action_dim, pstate_dim=s.pstate_dim, dtype=dtype)
-    seqs = dict(seq_shard=getattr(m, "seq_shard", False))
+    seqs = dict(seq_shard=getattr(m, "seq_shard", False),
+                attn_impl=attn_impl)
     vit = dict(dim=getattr(m, "vit_dim", 256), depth=getattr(m, "vit_depth", 2),
                heads=getattr(m, "vit_heads", 8), mlp_dim=m.mlp_dim, **seqs)
     if m.actor_type == "GaussianTransformer":
@@ -393,7 +400,8 @@ def build_actor(cfg, dtype=None) -> nn.Module:
             return ViTDeterministicPolicy(**common, **vit)
         return DeterministicGoTPolicy(block=m.block, head=m.head,
                                       l_f_size=m.latent_size, dim_head=m.dim_head,
-                                      mlp_dim=m.mlp_dim, **common)
+                                      mlp_dim=m.mlp_dim, attn_impl=attn_impl,
+                                      **common)
     if m.actor_type == "Deterministic":
         return DeterministicPolicy(**common)
     raise ValueError(f"unknown actor_type {m.actor_type!r}")
