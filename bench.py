@@ -153,6 +153,31 @@ def _bench_extra():
         print(json.dumps({"metric": "cls_final_block grad equivalence (on-chip)",
                           "value": 1, "unit": "pass"}))
 
+    # exported deployment artifact executes ON-CHIP and matches the live
+    # actor (serve/export.py traces the XLA path; the tpu lowering of the
+    # serialized StableHLO must agree with the fused-path apply to bf16
+    # matmul tolerance). CPU tests cover roundtrip/semantics; this gates
+    # the artifact on real hardware every round.
+    if jax.default_backend() == "tpu":
+        from dgvit_tpu.models import build_actor as _ba
+        from dgvit_tpu.serve import export_actor, load_actor
+
+        scfg = Config()
+        sactor = _ba(scfg)
+        sparams = sactor.init(jax.random.PRNGKey(21),
+                              jnp.zeros((1, 128, 160)),
+                              jnp.zeros((1, 2)))["params"]
+        art = load_actor(export_actor(scfg, sparams, platforms=["tpu"]))
+        sobs = jax.random.uniform(jax.random.PRNGKey(22), (8, 128, 160))
+        sgoal = jax.random.normal(jax.random.PRNGKey(23), (8, 2)) * 0.3
+        a_art = np.asarray(art(sobs, sgoal), np.float32)
+        a_live = np.tanh(np.asarray(
+            sactor.apply({"params": sparams}, sobs, sgoal)[0], np.float32))
+        serr = float(np.abs(a_art - a_live).max())
+        assert serr < 0.05, f"exported artifact drift on-chip: {serr}"
+        print(json.dumps({"metric": "serve artifact equivalence (on-chip)",
+                          "value": 1, "unit": "pass"}))
+
     # (4)+(5) fused SAC update throughput (replay batch resident on device)
     cfg = Config()
     agent = SACAgent(cfg, dtype=jnp.bfloat16)
