@@ -115,6 +115,8 @@ class SACAgent:
         self.target_entropy = -float(s.action_dim)
         self.auto_tune = bool(s.auto_tune_alpha)
         self.fixed_alpha = float(s.alpha)
+        am = getattr(s, "alpha_max", None)
+        self.alpha_max = None if am is None else float(am)
         self.done_mask = bool(s.done_mask_in_target)
         self.nan_guard = bool(getattr(s, "nan_guard", False))
         # perf opt-in (non-parity, config.py sac.critic_latent_reuse): actor
@@ -453,6 +455,14 @@ class SACAgent:
         updates, new_opt = self.alpha_tx.update(grad, state.alpha_opt,
                                                 state.log_alpha)
         new_log_alpha = optax.apply_updates(state.log_alpha, updates)
+        if self.alpha_max is not None:
+            # opt-in ceiling (cfg.sac.alpha_max) — reference auto-tune has
+            # no clamp (DRL.py:417-424) and measurably diverges on long
+            # hard-world runs (BENCH.md round-3 session 6: alpha 10.3,
+            # deterministic eval 0/100)
+            new_log_alpha = jnp.minimum(
+                new_log_alpha, jnp.log(jnp.asarray(self.alpha_max,
+                                                   jnp.float32)))
         return state.replace(log_alpha=new_log_alpha, alpha_opt=new_opt), \
             alpha_loss
 

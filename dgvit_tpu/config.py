@@ -141,11 +141,20 @@ class SACConfig:
     # passes per update). Deviates from the reference's post-update-critic
     # ordering (DRL.py:401-407), so off by default. GoT critic only.
     critic_latent_reuse: bool = False
+    # Entropy-temperature ceiling (FIX behind a flag, default off =
+    # reference semantics). Measured failure it addresses (BENCH.md round-3
+    # session 6): reference-semantics auto-tune (DRL.py:417-424, no clamp)
+    # blew alpha up to 10.3 mid-run on the 2400-episode hospital protocol
+    # and the deterministic policy collapsed to 0/100 while stochastic
+    # training still reached goals. alpha_max clamps exp(log_alpha) after
+    # every alpha update on all three update flavors.
+    alpha_max: Optional[float] = None
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0
         assert 0.0 < self.gamma <= 1.0
         assert 0.0 < self.tau <= 1.0
+        assert self.alpha_max is None or self.alpha_max > 0.0
         # log_alpha is initialized to log(alpha) (agents/sac.py init_state);
         # alpha <= 0 would seed the train state with -inf/NaN
         assert self.alpha > 0.0, (

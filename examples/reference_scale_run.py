@@ -47,6 +47,11 @@ def main(argv=None):
                         "layout is the reference's generalization world, "
                         "README.md:43-51; here it can be trained on "
                         "directly at reference scale)")
+    p.add_argument("--alpha-max", type=float, default=None,
+                   help="opt-in entropy-temperature ceiling (cfg.sac."
+                        "alpha_max). The unclamped reference auto-tune "
+                        "diverged on the 2400-episode hospital protocol "
+                        "(alpha 10.3, deterministic eval 0/100; BENCH.md)")
     p.add_argument("--host-eval", action="store_true",
                    help="final eval via the per-step host loop instead of "
                         "the single-dispatch vectorized eval (run_eval_vec; "
@@ -74,6 +79,8 @@ def main(argv=None):
     # warm buffer (compressed npz; the synthetic depth frames compress well)
     cfg.train.save_replay = True
     cfg.train.desc = "ref_scale_per"
+    if args.alpha_max is not None:
+        cfg.sac.alpha_max = args.alpha_max
 
     t0 = time.time()
     if args.fused:
@@ -119,6 +126,7 @@ def main(argv=None):
     summary = {
         "mode": "fused" if args.fused else "host_loop",
         "world": args.world,
+        "alpha_max": args.alpha_max,
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],
         "max_mean_reward": (None if args.fused

@@ -432,3 +432,44 @@ def test_critic_latent_reuse_equivalent_per_and_guided():
     for k in ma:
         np.testing.assert_allclose(float(ma[k]), float(mb[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_alpha_max_ceiling_clamps_all_flavors():
+    """Opt-in entropy-temperature ceiling (cfg.sac.alpha_max): log_alpha
+    never exceeds log(alpha_max) after any update flavor. Motivated by the
+    measured 2400-episode hospital divergence (alpha -> 10.3, deterministic
+    eval 0/100; BENCH.md round-3 session 6). Default (None) keeps the
+    reference's unclamped auto-tune — covered by every other test here."""
+    cap = 0.5
+    # alpha starts ABOVE the cap: the very first update must pull it under
+    ag = SACAgent(tiny_cfg(alpha=2.0, alpha_max=cap))
+    state = ag.init_state(0)
+    batch = make_batch(jax.random.PRNGKey(1))
+    state, _ = ag.learn(state, batch)
+    assert float(jnp.exp(state.log_alpha)) <= cap + 1e-6
+
+    agp = SACAgent(tiny_cfg(alpha=2.0, alpha_max=cap,
+                            prioritized_replay=True))
+    sp = agp.init_state(0)
+    sp, _m, _td = agp.learn_per(sp, make_batch(jax.random.PRNGKey(2)),
+                                jnp.ones((B,)))
+    assert float(jnp.exp(sp.log_alpha)) <= cap + 1e-6
+
+    agg = SACAgent(tiny_cfg(alpha=2.0, alpha_max=cap))
+    sg = agg.init_state(0)
+    expert = make_batch(jax.random.PRNGKey(3))
+    sg, _ = agg.learn_guidence(sg, make_batch(jax.random.PRNGKey(4)),
+                               expert, n_expert=B)
+    assert float(jnp.exp(sg.log_alpha)) <= cap + 1e-6
+
+
+def test_alpha_max_inactive_below_ceiling():
+    """With alpha far below the cap, the clamp is a no-op: one step with
+    and without alpha_max produces the SAME log_alpha."""
+    base = SACAgent(tiny_cfg())
+    capped = SACAgent(tiny_cfg(alpha_max=100.0))
+    b1 = make_batch(jax.random.PRNGKey(5))
+    b2 = make_batch(jax.random.PRNGKey(5))
+    s1, _ = base.learn(base.init_state(0), b1)
+    s2, _ = capped.learn(capped.init_state(0), b2)
+    assert float(s1.log_alpha) == float(s2.log_alpha)
