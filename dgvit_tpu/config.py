@@ -154,7 +154,13 @@ class SACConfig:
         assert self.action_dim > 0 and self.pstate_dim > 0
         assert 0.0 < self.gamma <= 1.0
         assert 0.0 < self.tau <= 1.0
+        # the clamp lives in the auto-tune update; with auto-tune off alpha
+        # is fixed, so a ceiling below it would be silently inert
         assert self.alpha_max is None or self.alpha_max > 0.0
+        if self.alpha_max is not None and not self.auto_tune_alpha:
+            assert self.alpha <= self.alpha_max, (
+                "alpha_max only clamps the auto-tuned temperature; with "
+                "auto_tune_alpha=False set alpha <= alpha_max directly")
         # log_alpha is initialized to log(alpha) (agents/sac.py init_state);
         # alpha <= 0 would seed the train state with -inf/NaN
         assert self.alpha > 0.0, (

@@ -49,15 +49,21 @@ def _obs_tail(cfg) -> tuple:
 
 
 def make_action_fn(cfg, params, env_units: bool = False,
-                   attn_impl: str = "xla"):
+                   attn_impl: str = "xla", dtype=None,
+                   inference: bool = False):
     """Deterministic deployment map act(obs, goal) -> action, closed over
-    `params` (the bare actor param tree, as stored by save_params_npz)."""
-    actor = build_actor(cfg, attn_impl=attn_impl)
+    `params` (the bare actor param tree, as stored by save_params_npz).
+
+    Defaults trace the portable XLA path for export; live on-chip serving
+    wants attn_impl='auto', inference=True, dtype=bfloat16 instead — that
+    routes through the fused whole-trunk megakernel (models/got.py:107)."""
+    actor = build_actor(cfg, dtype=dtype, attn_impl=attn_impl)
     deterministic = cfg.model.actor_type.startswith("Deterministic")
     e = cfg.env
 
     def act(obs, goal):
-        out = actor.apply({"params": params}, obs, goal, inference=False)
+        out = actor.apply({"params": params}, obs, goal,
+                          inference=inference)
         a = out if deterministic else jnp.tanh(out[0])
         if env_units:
             a = jnp.clip(a, -e.max_action, e.max_action)

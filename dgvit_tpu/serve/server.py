@@ -76,6 +76,16 @@ class BatchingActorServer:
         self._closed.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout)
+        # submit() may have raced close(): a request enqueued after the
+        # sentinel is never seen by the worker — fail it rather than let
+        # the caller block forever on its future
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[3].done():
+                item[3].set_exception(RuntimeError("server closed"))
 
     def __enter__(self):
         return self
@@ -150,6 +160,11 @@ class BatchingActorServer:
             for o, _, single, fut in batch:
                 n = o.shape[0]
                 out = actions[off:off + n]
-                fut.set_result(out[0] if single else out)
+                # a client may have cancelled its pending future (e.g. its
+                # own result() timeout fired) — set_result on a cancelled/
+                # done future raises InvalidStateError and would kill this
+                # worker thread, orphaning every other request
+                if not fut.done():
+                    fut.set_result(out[0] if single else out)
                 off += n
                 self._stats["requests"] += 1

@@ -178,3 +178,44 @@ def test_server_surfaces_worker_errors(small_cfg, actor_params):
                          np.zeros(2, np.float32))
         with pytest.raises(RuntimeError, match="device fell over"):
             fut.result(timeout=10)
+
+
+def test_server_survives_cancelled_future(small_cfg, actor_params):
+    """A client cancelling its pending future must not kill the worker
+    thread (set_result on a cancelled future raises InvalidStateError) —
+    later requests still get answers."""
+    import time
+
+    base = jax.jit(make_action_fn(small_cfg, actor_params))
+    gate = threading.Event()
+
+    def slow_act(obs, goal):
+        gate.wait(10)
+        return base(obs, goal)
+
+    obs = np.zeros((32, 40), np.float32)
+    goal = np.zeros(2, np.float32)
+    with BatchingActorServer(slow_act, max_wait_ms=1.0) as srv:
+        fut = srv.submit(obs, goal)
+        time.sleep(0.05)   # worker collects the batch, blocks in slow_act
+        fut.cancel()       # a PENDING future cancels; the worker later
+        gate.set()         # tries set_result on it mid-dispatch
+        out = srv.act(obs, goal, timeout=30)   # server must still answer
+    assert out.shape == (2,)
+
+
+def test_close_fails_stragglers_instead_of_hanging(small_cfg, actor_params):
+    """A request that races close() past the sentinel is failed with
+    RuntimeError rather than left to block forever."""
+    base = jax.jit(make_action_fn(small_cfg, actor_params))
+    srv = BatchingActorServer(base, max_wait_ms=1.0)
+    srv.close()
+    # enqueue directly past the closed gate (simulates the submit/close
+    # interleaving where the closed check passed before close() ran)
+    from concurrent.futures import Future
+    fut = Future()
+    srv._q.put((np.zeros((1, 32, 40), np.float32),
+                np.zeros((1, 2), np.float32), True, fut))
+    srv.close()
+    with pytest.raises(RuntimeError, match="server closed"):
+        fut.result(timeout=5)

@@ -5,11 +5,12 @@ and measures each with bench.py's seed-serialized harness (batch 256, 8
 chained iterations per dispatch, best of 3) across frame tiles fb in
 {1, 2, 4, 8}. Variants:
 
-  ih12  round-2 scheme: Irwin-Hall(12) from 12 unpacked BYTES of three
-        32-bit draws (36 mask/shift/add passes + full-res int32 accumulator)
+  ih12  the SHIPPED scheme (pallas_preprocess._add_noise): Irwin-Hall(12)
+        from 12 unpacked BYTES of three 32-bit draws (36 mask/shift/add
+        passes + full-res int32 accumulator) — measured fastest, it stays
   ih3   Irwin-Hall(3) from three full int32 draws, fma'd into x in place
-        (full-res transients: OOMs scoped VMEM at fb=4)
-  ih3h  ih3 with draws in (H/2, W) halves — the shipped default
+        (full-res transients: OOMs scoped VMEM at fb=4) — rejected
+  ih3h  ih3 with draws in (H/2, W) halves — rejected (66.3k < 67.7k)
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/ablate_noise.py
 """

@@ -67,7 +67,6 @@ def run_clients(srv, frames, goals):
 
 def main():
     cfg = Config()
-    cfg.model.compute_dtype = "bfloat16"
     actor = build_actor(cfg, dtype=jnp.bfloat16)
     params = actor.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 160)),
                         jnp.zeros((1, 2)))["params"]
@@ -75,8 +74,11 @@ def main():
     frames = rng.uniform(0, 1, (N_CLIENTS, 128, 160)).astype(np.float32)
     goals = rng.normal(0, 0.3, (N_CLIENTS, 2)).astype(np.float32)
 
-    # (a) sequential single-frame RTT (reference pattern)
-    live = jax.jit(make_action_fn(cfg, params, attn_impl="auto"))
+    # (a) sequential single-frame RTT (reference pattern). inference=True +
+    # bf16 + attn_impl='auto' routes through the fused megakernel on TPU
+    # (make_action_fn defaults trace the portable XLA export path instead)
+    live = jax.jit(make_action_fn(cfg, params, attn_impl="auto",
+                                  dtype=jnp.bfloat16, inference=True))
     np.asarray(live(frames[:1], goals[:1]))  # warm
     t0 = time.perf_counter()
     n_seq = 20
