@@ -403,3 +403,26 @@ def test_save_replay_warm_buffer_resume(tmp_path):
     finally:
         trl.ReplayBuffer.load_transitions = orig
     assert seen.get("stored", 0) > 0, "resume did not reload transitions"
+
+
+def test_attention_maps_example(tmp_path):
+    """examples/attention_maps.py end-to-end on a synthetic actor: captures
+    per-block goal-token attention over a live episode and writes the PNG
+    grid (the reference's get_local visualization workflow, Gazebo-free)."""
+    import jax
+    import numpy as np
+
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.core import checkpoint as ckpt
+    from dgvit_tpu.models import build_actor
+    from examples.attention_maps import main as attn_main
+
+    cfg = Config()
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(0), np.zeros((1, 128, 160)),
+                        np.zeros((1, 2)))["params"]
+    ckpt.save_params_npz(str(tmp_path), "viz", params)
+    attn_main(["--actor", str(tmp_path / "viz_actor.npz"),
+               "--steps", "3", "--every", "1",
+               "--out", str(tmp_path / "attn")])
+    assert (tmp_path / "attn" / "goal_attention.png").stat().st_size > 10_000
