@@ -44,6 +44,10 @@ def main(argv=None):
                    help="starting entropy temperature for the SAC fine-tune "
                         "(round-2 result: 1.0 washes out the BC warm start; "
                         "0.05 preserves it)")
+    p.add_argument("--alpha-max", type=float, default=None,
+                   help="opt-in entropy-temperature ceiling (sac.alpha_max) "
+                        "for long fine-tunes; the unclamped auto-tune "
+                        "diverged at 2400 episodes (BENCH.md session 6)")
     p.add_argument("--guidence-weight", type=float, default=1.0,
                    help="expert BC anchor weight (DRL.py:51); the reward "
                         "scale is +-200 so Q-magnitudes dwarf the default")
@@ -155,6 +159,7 @@ def main(argv=None):
         cfg.train.pre_train = True
         cfg.train.pre_train_model = str(out / "il" / "bc_warm")
         cfg.sac.alpha = args.alpha_init
+        cfg.sac.alpha_max = args.alpha_max
         cfg.sac.guidence_weight = args.guidence_weight
         cfg.sac.guidence_weight_final = args.gw_final
         cfg.sac.guidence_decay_steps = args.gw_decay_steps
@@ -191,7 +196,9 @@ def main(argv=None):
                   flush=True)
         actor_params = res["state"].actor_params
         hist_note = (f"alpha0={args.alpha_init} expert={args.expert_buffer} "
-                     f"gw={args.guidence_weight}"
+                     + (f"amax={args.alpha_max} "
+                        if args.alpha_max is not None else "")
+                     + f"gw={args.guidence_weight}"
                      + (f"->{args.gw_final}@{args.gw_decay_steps}"
                         if args.gw_final is not None else "")
                      + (" per" if args.per else "")
