@@ -219,3 +219,20 @@ def test_close_fails_stragglers_instead_of_hanging(small_cfg, actor_params):
     srv.close()
     with pytest.raises(RuntimeError, match="server closed"):
         fut.result(timeout=5)
+
+
+def test_export_deterministic_actor(small_cfg):
+    """Deterministic* actors return the squashed action directly — export
+    must not double-tanh (got_sac_network.py:385,447)."""
+    import copy
+
+    cfg = copy.deepcopy(small_cfg)
+    cfg.model.actor_type = "DeterministicTransformer"
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(2), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    act = load_actor(export_actor(cfg, params, platforms=["cpu"]))
+    obs = np.random.default_rng(4).uniform(0, 1, (3, 32, 40)).astype(np.float32)
+    goal = np.zeros((3, 2), np.float32)
+    ref = np.asarray(actor.apply({"params": params}, obs, goal), np.float32)
+    np.testing.assert_allclose(np.asarray(act(obs, goal)), ref, atol=1e-6)
