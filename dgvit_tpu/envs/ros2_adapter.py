@@ -38,10 +38,21 @@ except ImportError:
 
 
 class GazeboRos2Env:
-    """Env-protocol adapter over ROS2 topics/services. Requires rclpy."""
+    """Env-protocol adapter over ROS2 topics/services. Requires rclpy.
+
+    Multi-robot fleets (serve/fleet.py): pass a per-robot `namespace`
+    (topics become <ns>/cmd_vel, <ns>/odom, ...) plus distinct
+    `robot_name`/`target_name` Gazebo entities, and set
+    `manage_physics=False` so robots don't fight over the GLOBAL
+    pause/unpause services — a fleet runs Gazebo free-running real-time
+    (the reference's lockstep 0.1 s pause cycle, env_lab.py:197-212, only
+    makes sense for one robot owning the clock)."""
 
     def __init__(self, cfg, position_records: Optional[list] = None,
-                 use_jax_preprocess: bool = True):
+                 use_jax_preprocess: bool = True, namespace: str = "",
+                 robot_name: Optional[str] = None,
+                 target_name: str = "target_cone",
+                 manage_physics: bool = True):
         if not HAS_ROS2:
             raise ImportError(
                 "rclpy not available — GazeboRos2Env needs a ROS2 Humble "
@@ -65,21 +76,36 @@ class GazeboRos2Env:
         self.goalX = self.goalY = 2.0
         self._use_jax_pre = use_jax_preprocess
         self._noise_key = 0
+        assert namespace == "" or namespace.startswith("/"), \
+            "namespace must be '' or start with '/' (ROS2 convention)"
+        self.namespace = namespace
+        self.robot_name = robot_name or getattr(cfg.train, "robot", "scout")
+        self.target_name = target_name
+        self.manage_physics = manage_physics
+        self.DT = 0.1  # sim-time per action step (env_lab.py:204)
 
-        rclpy.init(args=None)
-        self.node = rclpy.create_node("dgvit_env")
-        self.vel_pub = self.node.create_publisher(Twist, "/cmd_vel", 1)
+        try:
+            rclpy.init(args=None)
+        except RuntimeError:  # context already initialized — fleet case:
+            pass               # one rclpy context, one node per robot
+        self.node = rclpy.create_node(
+            "dgvit_env" + namespace.replace("/", "_"))
+        self.vel_pub = self.node.create_publisher(
+            Twist, f"{namespace}/cmd_vel", 1)
+        # physics + teleport services are Gazebo-global (never namespaced)
         self.unpause = self.node.create_client(Empty, "/unpause_physics")
         self.pause = self.node.create_client(Empty, "/pause_physics")
         self.set_state = self.node.create_client(SetEntityState,
                                                  "gazebo/set_entity_state")
 
-        topic = {"depth_image": "/camera/depth/image_raw",
-                 "fish_image": "/camera_fesh/image_raw",
-                 "image": "/camera/image_raw"}[cfg.env.vis_sensor]
+        topic = {"depth_image": f"{namespace}/camera/depth/image_raw",
+                 "fish_image": f"{namespace}/camera_fesh/image_raw",
+                 "image": f"{namespace}/camera/image_raw"}[cfg.env.vis_sensor]
         self.node.create_subscription(Image, topic, self._on_image, 10)
-        self.node.create_subscription(Odometry, "/odom", self._on_odom, 10)
-        self.node.create_subscription(LaserScan, "/front_laser/scan",
+        self.node.create_subscription(Odometry, f"{namespace}/odom",
+                                      self._on_odom, 10)
+        self.node.create_subscription(LaserScan,
+                                      f"{namespace}/front_laser/scan",
                                       self._on_scan, 1)
         self._executor = rclpy.executors.MultiThreadedExecutor()
         self._executor.add_node(self.node)
@@ -158,14 +184,17 @@ class GazeboRos2Env:
         if self.records:
             rec = self.records[self.indice_position]
             self.indice_position = (self.indice_position + 1) % len(self.records)
-            self._set_entity(getattr(self.cfg.train, "robot", "scout"),
+            self._set_entity(self.robot_name,
                              rec["xR"], rec["yR"],
                              rec.get("quaterZ", 0), rec.get("quaterW", 1))
-            self._set_entity("target_cone", rec["xG"], rec["yG"])
+            self._set_entity(self.target_name, rec["xG"], rec["yG"])
             self.goalX, self.goalY = rec["xG"], rec["yG"]
-        self._call_empty(self.unpause)
-        time.sleep(0.2)
-        self._call_empty(self.pause)
+        if self.manage_physics:
+            self._call_empty(self.unpause)
+            time.sleep(0.2)
+            self._call_empty(self.pause)
+        else:  # free-running sim: just let the teleport settle
+            time.sleep(0.2)
         while self._last_image is None or self._last_odom is None:
             time.sleep(0.05)
         x, y, yaw = self._pose()
@@ -182,9 +211,12 @@ class GazeboRos2Env:
         cmd.linear.x = float(action[0])
         cmd.angular.z = float(action[1])
         self.vel_pub.publish(cmd)
-        self._call_empty(self.unpause)
-        time.sleep(0.1)  # 0.1 s sim step (env_lab.py:204)
-        self._call_empty(self.pause)
+        if self.manage_physics:
+            self._call_empty(self.unpause)
+            time.sleep(self.DT)  # 0.1 s sim step (env_lab.py:204)
+            self._call_empty(self.pause)
+        else:  # fleet mode: real-time sim, fixed control cadence
+            time.sleep(self.DT)
 
         scan = self._scan
         ranges = np.asarray(scan.ranges, np.float32)

@@ -13,7 +13,9 @@ many-client serving.
 
 from dgvit_tpu.serve.export import (export_actor, load_actor,
                                     make_action_fn)
+from dgvit_tpu.serve.fleet import FleetRunner, make_ros2_fleet, serve_fleet
 from dgvit_tpu.serve.server import BatchingActorServer
 
 __all__ = ["export_actor", "load_actor", "make_action_fn",
-           "BatchingActorServer"]
+           "BatchingActorServer", "FleetRunner", "make_ros2_fleet",
+           "serve_fleet"]

@@ -1,0 +1,181 @@
+"""Fleet serving: N robots share one BatchingActorServer (serve/fleet.py).
+
+The reference is strictly 1 robot : 1 process : 1 policy loop
+(main.py:369); the fleet layer scales that to N concurrent Env clients
+whose action requests coalesce into shared padded-bucket dispatches.
+Covers:
+  * deterministic equivalence — batched-server fleet results match a
+    direct (unbatched) run of the same robots
+  * request coalescing — fewer dispatches than requests, every row served
+  * reference evaluation semantics per robot (success/collision/bad-init
+    accounting, durations in simulated seconds, testing.py:103-150)
+  * namespaced multi-robot GazeboRos2Env adapters over fake rclpy
+    (distinct topics/entities, free-running physics)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dgvit_tpu.config import Config
+from dgvit_tpu.envs import KinematicNavEnv
+from dgvit_tpu.models import build_actor
+from dgvit_tpu.serve import FleetRunner, make_action_fn, serve_fleet
+
+import fake_ros2
+
+
+def fleet_cfg(max_steps=12):
+    return Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 16, "mlp_dim": 32,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "env": {"max_steps": max_steps},
+    })
+
+
+@pytest.fixture(scope="module")
+def actor_setup():
+    cfg = fleet_cfg()
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(0), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    act = jax.jit(make_action_fn(cfg, params))
+    return cfg, act
+
+
+def _kin_envs(n, max_steps=12):
+    return [KinematicNavEnv(seed=100 + i, image_hw=(32, 40))
+            for i in range(n)]
+
+
+def test_fleet_matches_direct_run(actor_setup):
+    cfg, act = actor_setup
+    n = 4
+
+    # batched-server fleet
+    out_srv = serve_fleet(cfg, _kin_envs(n), act, episodes_per_robot=2,
+                          max_wait_ms=30.0)
+    # same robots, direct per-request calls (no server, no coalescing)
+    direct = FleetRunner(_kin_envs(n),
+                         lambda o, g: np.asarray(act(o[None], g[None]))[0],
+                         cfg)
+    out_dir = direct.run(episodes_per_robot=2)
+
+    assert out_srv["episodes"] == out_dir["episodes"] == 2 * n
+    assert out_srv["successes"] == out_dir["successes"]
+    assert out_srv["collisions"] == out_dir["collisions"]
+    assert out_srv["bad_inits"] == out_dir["bad_inits"]
+    np.testing.assert_allclose(out_srv["durations"], out_dir["durations"])
+    np.testing.assert_allclose(out_srv["total_reward"],
+                               out_dir["total_reward"], rtol=1e-4)
+    # per-robot reports carry their own accounting
+    assert [r.robot for r in out_srv["per_robot"]] == list(range(n))
+    assert sum(r.successes for r in out_srv["per_robot"]) == \
+        out_srv["successes"]
+
+
+def test_fleet_coalesces_requests(actor_setup):
+    cfg, act = actor_setup
+    n = 6
+    out = serve_fleet(cfg, _kin_envs(n), act, episodes_per_robot=1,
+                      max_wait_ms=50.0)
+    st = out["serving"]
+    # every action request was answered through the server...
+    assert st["requests"] == st["rows"] >= n  # one per robot-step
+    # ...in strictly fewer dispatches than requests (real coalescing)
+    assert st["dispatches"] < st["requests"]
+    assert st["mean_batch"] > 1.0
+    # durations are simulated seconds: multiples of env.DT within an episode
+    dt = KinematicNavEnv(seed=0, image_hw=(32, 40)).DT
+    for d in out["durations"]:
+        assert abs(d / dt - round(d / dt)) < 1e-6
+        assert d <= cfg.env.max_steps * dt + 1e-9
+
+
+def test_fleet_robot_error_propagates(actor_setup):
+    cfg, act = actor_setup
+
+    class Boom:
+        def reset(self):
+            raise RuntimeError("sensor offline")
+
+    envs = _kin_envs(1) + [Boom()]
+    runner = FleetRunner(envs,
+                         lambda o, g: np.asarray(act(o[None], g[None]))[0],
+                         cfg)
+    with pytest.raises(RuntimeError, match="sensor offline"):
+        runner.run(episodes_per_robot=1)
+
+
+@pytest.fixture()
+def ros2(monkeypatch):
+    world = fake_ros2.install()
+    import time as _time
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    from dgvit_tpu.envs import ros2_adapter
+    assert ros2_adapter.HAS_ROS2
+    yield ros2_adapter, world
+    fake_ros2.uninstall()
+
+
+def _prime_robot(world, ns, x=0.0, y=0.0):
+    rng = np.random.default_rng(abs(hash(ns)) % 2**31)
+    img = rng.uniform(0.1, 8.0, (64, 80)).astype(np.float32)
+    world.deliver(f"{ns}/camera/depth/image_raw",
+                  fake_ros2.Image(height=64, width=80, encoding="32FC1",
+                                  data=img.tobytes()))
+    world.deliver(f"{ns}/odom", fake_ros2.Odometry(x=x, y=y))
+    world.deliver(f"{ns}/front_laser/scan",
+                  fake_ros2.LaserScan([5.0] * 36))
+
+
+def test_ros2_fleet_namespaced_and_free_running(ros2):
+    from dgvit_tpu.serve.fleet import FleetRunner, make_ros2_fleet
+
+    _, world = ros2
+    cfg = fleet_cfg(max_steps=3)
+    recs = [[{"xR": 0.0, "yR": 0.0, "xG": 3.0, "yG": 0.0}],
+            [{"xR": 1.0, "yR": 1.0, "xG": -3.0, "yG": 0.0}]]
+    envs = make_ros2_fleet(cfg, 2, records_per_robot=recs)
+    # distinct nodes + topics per robot
+    assert envs[0].node.name == "dgvit_env_robot0"
+    assert envs[1].node.name == "dgvit_env_robot1"
+    for i in range(2):
+        _prime_robot(world, f"/robot{i}", x=float(i), y=float(i))
+
+    out = FleetRunner(envs, lambda o, g: np.array([0.1, 0.0], np.float32),
+                      cfg).run(episodes_per_robot=1)
+    assert out["robots"] == 2 and out["episodes"] == 2
+
+    # per-robot teleports hit per-robot Gazebo entities (robot threads reset
+    # concurrently, so only the per-robot order is deterministic)
+    names = [c.state.name for c in world.calls("gazebo/set_entity_state")]
+    assert sorted(names) == ["scout0", "scout1",
+                             "target_cone0", "target_cone1"]
+    for i in range(2):
+        assert names.index(f"scout{i}") < names.index(f"target_cone{i}")
+    # commands went to the namespaced topics, 3 steps each
+    assert len(world.twists("/robot0/cmd_vel")) >= 3  # steps + stop()
+    assert len(world.twists("/robot1/cmd_vel")) >= 3
+    assert not world.twists("/cmd_vel")  # nothing leaked to the global topic
+    # free-running physics: the global pause/unpause gate is never touched
+    assert not world.calls("/unpause_physics")
+    assert not world.calls("/pause_physics")
+
+
+def test_ros2_single_robot_default_unchanged(ros2):
+    """Default constructor args keep the reference single-robot contract
+    (un-namespaced topics, 'scout' entity, managed pause/unpause)."""
+    ros2_adapter, world = ros2
+    cfg = Config.from_dict({"env": {"vis_sensor": "depth_image",
+                                    "max_steps": 2}})
+    env = ros2_adapter.GazeboRos2Env(
+        cfg, position_records=[{"xR": 0, "yR": 0, "xG": 2, "yG": 2}])
+    _prime_robot(world, "")
+    env.reset()
+    env.step([0.1, 0.0], 0)
+    assert [c.state.name for c in world.calls("gazebo/set_entity_state")] == \
+        ["scout", "target_cone"]
+    assert world.twists("/cmd_vel")
+    assert len(world.calls("/unpause_physics")) == 2  # reset + step
