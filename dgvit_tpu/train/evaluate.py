@@ -260,6 +260,35 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
     return _report(cfg, _C(), cntr2, total_rel, durations, out_dir, name)
 
 
+def run_eval_fleet(cfg: Config, actor_params, max_episodes: int = 100,
+                   n_robots: int = 8, world: str = "rrc",
+                   out_dir: str = "results", name: str = "model") -> dict:
+    """The evaluation protocol as a FLEET: episodes split across n_robots
+    concurrent KinematicNavEnv clients sharing one BatchingActorServer
+    (serve/fleet.py), so the device sees coalesced bucket dispatches
+    instead of one per step — the many-robot deployment shape, and on a
+    remote-attached chip also the fastest host-loop eval."""
+    from dgvit_tpu.serve import make_action_fn, serve_fleet
+
+    if max_episodes % n_robots:
+        raise ValueError(f"--episodes {max_episodes} must divide evenly "
+                         f"across --fleet {n_robots} robots")
+    act = jax.jit(make_action_fn(cfg, actor_params))
+    envs = [KinematicNavEnv(seed=cfg.train.seed + i,
+                            image_hw=tuple(cfg.model.image_size), world=world)
+            for i in range(n_robots)]
+    out = serve_fleet(cfg, envs, act,
+                      episodes_per_robot=max_episodes // n_robots)
+
+    class _C:
+        collision = out["collisions"]
+
+    rep = _report(cfg, _C(), out["successes"],
+                  out["episodes"], out["durations"], out_dir, name)
+    rep["serving"] = out["serving"]
+    return rep
+
+
 def _report(cfg: Config, env: Env, cntr2: int, total_rel: int, durations,
             out_dir: str, name: str) -> dict:
     e = cfg.env
@@ -300,6 +329,10 @@ def main(argv=None):
     p.add_argument("--device-rollout", action="store_true",
                    help="run each episode as one jitted io_callback scan "
                         "(policy + action scaling on device; env on host)")
+    p.add_argument("--fleet", type=int, default=0, metavar="N",
+                   help="run the protocol as N concurrent robots sharing "
+                        "one micro-batching actor server (serve/fleet.py); "
+                        "episodes split evenly across robots")
     p.add_argument("--vec-eval", action="store_true",
                    help="run ALL episodes at once as lanes of the pure-JAX "
                         "vectorized kinematic env — the whole protocol is "
@@ -345,7 +378,13 @@ def main(argv=None):
                               np.zeros((1, cfg.sac.pstate_dim)))["params"]
         params = ckpt.load_params_npz(args.actor, template)
         name = os.path.basename(args.actor)
-    if args.vec_eval:
+    if args.fleet and (args.vec_eval or args.device_rollout):
+        p.error("--fleet is a host-loop mode; it composes with neither "
+                "--vec-eval nor --device-rollout")
+    if args.fleet:
+        out = run_eval_fleet(cfg, params, args.episodes, args.fleet,
+                             args.world, args.out, name)
+    elif args.vec_eval:
         out = run_eval_vec(cfg, params, args.episodes, args.world,
                            args.out, name, obs_noise=args.obs_noise,
                            occlusion=args.occlusion, greying=args.greying)

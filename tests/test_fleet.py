@@ -108,6 +108,42 @@ def test_fleet_robot_error_propagates(actor_setup):
         runner.run(episodes_per_robot=1)
 
 
+def test_evaluate_fleet_mode(actor_setup, tmp_path):
+    """run_eval_fleet + the dgvit-test --fleet CLI: the evaluation protocol
+    split across concurrent robots sharing one batching server."""
+    import yaml
+
+    from dgvit_tpu.core import checkpoint as ckpt
+    from dgvit_tpu.train import evaluate
+
+    cfg, _ = actor_setup
+    cfg.env.max_steps = 10
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(1), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    out = evaluate.run_eval_fleet(cfg, params, max_episodes=4, n_robots=2,
+                                  out_dir=str(tmp_path))
+    assert 0.0 <= out["success_rate"] <= 1.0
+    assert out["serving"]["rows"] >= 4  # at least one step per episode
+    assert (tmp_path / "testing_data.txt").exists()
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        evaluate.run_eval_fleet(cfg, params, max_episodes=5, n_robots=2,
+                                out_dir=str(tmp_path))
+
+    # CLI path
+    npz = ckpt.save_params_npz(str(tmp_path), "fleet_test", params)
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump(cfg.to_dict()))
+    out_dir = tmp_path / "cli"
+    evaluate.main(["--actor", npz, "--config", str(cfg_yaml),
+                   "--episodes", "4", "--fleet", "2", "--out", str(out_dir)])
+    assert (out_dir / "testing_data.txt").exists()
+    with pytest.raises(SystemExit):  # host-loop only
+        evaluate.main(["--actor", npz, "--config", str(cfg_yaml),
+                       "--fleet", "2", "--vec-eval"])
+
+
 @pytest.fixture()
 def ros2(monkeypatch):
     world = fake_ros2.install()
