@@ -58,11 +58,17 @@ class FleetRunner:
     service already emits robot velocity commands (export --env-units).
     """
 
-    def __init__(self, envs: Sequence, act, cfg, env_units_baked: bool = False):
+    def __init__(self, envs: Sequence, act, cfg, env_units_baked: bool = False,
+                 on_transition: Optional[Callable] = None):
         self.envs = list(envs)
         self._act = act.act if isinstance(act, BatchingActorServer) else act
         self.cfg = cfg
         self.env_units_baked = env_units_baked
+        # on_transition(robot, obs, action, goal, reward, next_obs,
+        # next_goal, done) — a fleet-wide experience stream (the demo-npz
+        # row layout, demonstration.py:237-245), called from robot threads;
+        # consumers (replay buffers, recorders) must be thread-safe
+        self.on_transition = on_transition
 
     # -- one robot ------------------------------------------------------------
     def _stacker(self):
@@ -98,10 +104,15 @@ class FleetRunner:
                     a_in = [(a[0] + 1.0) * e.linear_cmd_scale,
                             a[1] * e.angular_cmd_scale]
                 s = env.step(a_in, t)
+                prev_obs, prev_goal = obs, goal
                 obs = self._squeeze(s.state)
                 if stacker:
                     obs = stacker.push(obs)
                 goal = s.to_goal
+                if self.on_transition is not None:
+                    self.on_transition(i, prev_obs, a, prev_goal,
+                                       float(s.reward), obs, goal,
+                                       bool(s.done))
                 rep.total_reward += float(s.reward)
                 if t == 0 and s.done:  # Bad initialization (testing.py:117-121)
                     rep.bad_inits += 1

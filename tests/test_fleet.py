@@ -108,6 +108,29 @@ def test_fleet_robot_error_propagates(actor_setup):
         runner.run(episodes_per_robot=1)
 
 
+def test_fleet_transition_stream(actor_setup):
+    """on_transition: the fleet as a multi-robot experience collector
+    (demo-npz row layout, demonstration.py:237-245)."""
+    cfg, act = actor_setup
+    n = 3
+    rows = []  # list.append is atomic under the GIL — thread-safe consumer
+    runner = FleetRunner(
+        _kin_envs(n),
+        lambda o, g: np.asarray(act(o[None], g[None]))[0], cfg,
+        on_transition=lambda *tr: rows.append(tr))
+    out = runner.run(episodes_per_robot=1)
+
+    assert {r[0] for r in rows} == set(range(n))  # every robot contributed
+    for robot, obs, a, goal, rew, nobs, ngoal, done in rows:
+        assert obs.shape == nobs.shape == (32, 40)
+        assert a.shape == (2,) and np.all(np.abs(a) <= cfg.env.max_action)
+        assert goal.shape == ngoal.shape == (4,)
+        assert np.isfinite(rew) and isinstance(done, bool)
+    # one terminal row per completed episode that ended via done
+    per_robot_last = {r[0]: r for r in rows}
+    assert sum(r[-1] for r in per_robot_last.values()) <= out["episodes"]
+
+
 def test_evaluate_fleet_mode(actor_setup, tmp_path):
     """run_eval_fleet + the dgvit-test --fleet CLI: the evaluation protocol
     split across concurrent robots sharing one batching server."""

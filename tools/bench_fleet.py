@@ -56,14 +56,18 @@ def main():
 
     # reference pattern: one robot, one dispatch per control step
     env = KinematicNavEnv(seed=0)
-    runner = FleetRunner([env], lambda o, g: np.asarray(
-        act(o[None], g[None]))[0], cfg)
+    calls = [0]
+
+    def direct(o, g):
+        calls[0] += 1
+        return np.asarray(act(o[None], g[None]))[0]
+
+    runner = FleetRunner([env], direct, cfg)
     t0 = time.perf_counter()
-    out = runner.run(episodes_per_robot=1)
+    runner.run(episodes_per_robot=1)
     dt = time.perf_counter() - t0
-    steps = MAX_STEPS  # episode may end early; steps/s uses actual requests
     print(json.dumps({"metric": "fleet control steps/s (1 robot, direct)",
-                      "value": round(out["episodes"] and steps / dt, 1),
+                      "value": round(calls[0] / dt, 1),
                       "unit": "steps/s"}), flush=True)
 
     for n in FLEETS:
