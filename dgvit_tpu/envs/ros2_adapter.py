@@ -97,6 +97,26 @@ class GazeboRos2Env:
         self.pause = self.node.create_client(Empty, "/pause_physics")
         self.set_state = self.node.create_client(SetEntityState,
                                                  "gazebo/set_entity_state")
+        # RViz goal marker (env_lab.py:135,254-271): a flat white cylinder at
+        # the live goal, republished every step. Import-gated — a bare-bones
+        # ROS2 install without visualization_msgs just skips the marker.
+        self._marker_pub = None
+        try:
+            from visualization_msgs.msg import Marker, MarkerArray  # noqa: F401
+            self._marker_pub = self.node.create_publisher(
+                MarkerArray, f"{namespace}/goal_mark_array", 3)
+        except ImportError:
+            pass
+        # /clock mailbox: with manage_physics=False (fleet mode) Gazebo runs
+        # free and advances sim time by wall-clock x real-time-factor, so
+        # (t+1)*DT is only correct at RTF==1 — durations should come from the
+        # sim clock itself when it is published (gazebo_ros use_sim_time).
+        self._sim_clock = None
+        try:
+            from rosgraph_msgs.msg import Clock
+            self.node.create_subscription(Clock, "/clock", self._on_clock, 10)
+        except ImportError:
+            pass
 
         topic = {"depth_image": f"{namespace}/camera/depth/image_raw",
                  "fish_image": f"{namespace}/camera_fesh/image_raw",
@@ -119,6 +139,14 @@ class GazeboRos2Env:
     def _on_scan(self, msg):
         self._scan = msg
 
+    def _on_clock(self, msg):
+        self._sim_clock = float(msg.clock.sec) + float(msg.clock.nanosec) * 1e-9
+
+    def sim_now(self) -> Optional[float]:
+        """Latest /clock sim time in seconds, or None before the first tick
+        (no /clock publisher, or a world not yet unpaused)."""
+        return self._sim_clock
+
     def _on_image(self, msg):
         """Raw-bytes -> array decode at the host boundary; the noise/blur
         chain runs on-device via ops.preprocess (SURVEY.md §2.2)."""
@@ -127,6 +155,15 @@ class GazeboRos2Env:
             img = np.frombuffer(msg.data, np.float32).reshape(h, w)
         elif msg.encoding in ("16UC1",):
             img = np.frombuffer(msg.data, np.uint16).reshape(h, w)
+        elif msg.encoding in ("rgb8", "bgr8", "8UC3"):
+            # cv_bridge imgmsg_to_cv2(..., "mono8") equivalent
+            # (env_lab.py:460-471): ITU-R BT.601 luma, 8UC3 treated as BGR
+            # like OpenCV does
+            rgb = np.frombuffer(msg.data, np.uint8).reshape(h, w, 3)
+            if msg.encoding != "rgb8":
+                rgb = rgb[..., ::-1]
+            img = (rgb @ np.array([0.299, 0.587, 0.114], np.float32)).astype(
+                np.uint8)
         else:  # mono8
             img = np.frombuffer(msg.data, np.uint8).reshape(h, w)
         if not img.any():  # all-zero frame detection (env_lab.py:435-436)
@@ -151,7 +188,45 @@ class GazeboRos2Env:
         req.state.pose.orientation.z = float(qz)
         req.state.pose.orientation.w = float(qw)
         fut = self.set_state.call_async(req)
-        rclpy.spin_until_future_complete(self.node, fut)
+        # Do NOT spin here: the node already spins in its own background
+        # MultiThreadedExecutor (which completes this future), and in a fleet
+        # N concurrent resets would all try to attach the nodes to the global
+        # executor and spin it from multiple threads at once. Wait on the
+        # future directly instead.
+        done = threading.Event()
+        fut.add_done_callback(lambda _fut: done.set())
+        if fut.done():  # completed before the callback was registered
+            done.set()
+        if not done.wait(timeout=5.0):
+            self.node.get_logger().error(
+                f"set_entity_state({name}) timed out after 5 s")
+
+    def _publish_goal_marker(self):
+        """RViz goal visualization (env_lab.py:254-271): one flat white
+        cylinder in the odom frame at the current goal, republished on every
+        reset and step so RViz always shows the live target."""
+        if self._marker_pub is None:
+            return
+        from visualization_msgs.msg import Marker, MarkerArray
+
+        marker = Marker()
+        marker.header.frame_id = "odom"
+        marker.type = Marker.CYLINDER
+        marker.action = Marker.ADD
+        marker.scale.x = 0.3
+        marker.scale.y = 0.3
+        marker.scale.z = 0.01
+        marker.color.a = 1.0
+        marker.color.r = 1.0
+        marker.color.g = 1.0
+        marker.color.b = 1.0
+        marker.pose.orientation.w = 1.0
+        marker.pose.position.x = float(self.goalX)
+        marker.pose.position.y = float(self.goalY)
+        marker.pose.position.z = 0.0
+        arr = MarkerArray()
+        arr.markers.append(marker)
+        self._marker_pub.publish(arr)
 
     def _preprocess(self, raw) -> np.ndarray:
         import jax
@@ -189,6 +264,7 @@ class GazeboRos2Env:
                              rec.get("quaterZ", 0), rec.get("quaterW", 1))
             self._set_entity(self.target_name, rec["xG"], rec["yG"])
             self.goalX, self.goalY = rec["xG"], rec["yG"]
+        self._publish_goal_marker()
         if self.manage_physics:
             self._call_empty(self.unpause)
             time.sleep(0.2)
@@ -211,6 +287,7 @@ class GazeboRos2Env:
         cmd.linear.x = float(action[0])
         cmd.angular.z = float(action[1])
         self.vel_pub.publish(cmd)
+        self._publish_goal_marker()
         if self.manage_physics:
             self._call_empty(self.unpause)
             time.sleep(self.DT)  # 0.1 s sim step (env_lab.py:204)

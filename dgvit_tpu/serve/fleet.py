@@ -88,6 +88,10 @@ class FleetRunner:
         stacker = self._stacker()
         if hasattr(env, "collision"):
             env.collision = 0
+        # free-running Gazebo advances sim time by wall-clock x RTF, so
+        # (t+1)*DT durations assume RTF==1; when the env publishes /clock
+        # (GazeboRos2Env.sim_now) durations use the sim clock itself
+        sim_now = getattr(env, "sim_now", lambda: None)
         for _ in range(episodes):
             r = env.reset()
             obs = self._squeeze(r.state)
@@ -95,6 +99,7 @@ class FleetRunner:
                 obs = stacker.reset(obs)
             goal = r.to_goal
             rep.episodes += 1
+            ep_t0 = sim_now()
             for t in range(e.max_steps):
                 a = np.asarray(self._act(obs, goal[:2]), np.float32)
                 if self.env_units_baked:
@@ -109,18 +114,26 @@ class FleetRunner:
                 if stacker:
                     obs = stacker.push(obs)
                 goal = s.to_goal
+                if t == 0 and s.done:  # Bad initialization (testing.py:117-121)
+                    # excluded episodes contribute NOTHING — not to the
+                    # experience stream, not to total_reward — so on_transition
+                    # consumers (replay buffers) and the accounted episode set
+                    # stay consistent
+                    rep.bad_inits += 1
+                    rep.episodes -= 1
+                    break
                 if self.on_transition is not None:
                     self.on_transition(i, prev_obs, a, prev_goal,
                                        float(s.reward), obs, goal,
                                        bool(s.done))
                 rep.total_reward += float(s.reward)
-                if t == 0 and s.done:  # Bad initialization (testing.py:117-121)
-                    rep.bad_inits += 1
-                    rep.episodes -= 1
-                    break
                 if s.target:
                     rep.successes += 1
-                    rep.durations.append((t + 1) * dt)
+                    now = sim_now()
+                    rep.durations.append(now - ep_t0
+                                         if now is not None and
+                                         ep_t0 is not None
+                                         else (t + 1) * dt)
                 if s.done or t == e.max_steps - 1:
                     break
         rep.collisions = int(getattr(env, "collision", 0))
@@ -129,7 +142,13 @@ class FleetRunner:
 
     # -- the fleet --------------------------------------------------------------
     def run(self, episodes_per_robot: int = 1) -> dict:
-        """Run every robot concurrently; returns aggregate + per-robot stats."""
+        """Run every robot concurrently; returns aggregate + per-robot stats.
+
+        Partial-failure semantics: one dead robot must not throw away the
+        other N-1 robots' completed campaigns. A robot that raises gets its
+        exception recorded on its RobotReport.error (episodes it completed
+        before dying still count); the aggregate carries an `errors` map and
+        the CALLER decides whether that fails the run."""
         reports = [RobotReport(robot=i) for i in range(len(self.envs))]
 
         def guarded(i):
@@ -145,9 +164,6 @@ class FleetRunner:
         for t in threads:
             t.join()
 
-        errors = [r.error for r in reports if r.error]
-        if errors:
-            raise RuntimeError(f"fleet robots failed: {errors}")
         episodes = sum(r.episodes for r in reports)
         successes = sum(r.successes for r in reports)
         return {
@@ -160,6 +176,7 @@ class FleetRunner:
             "total_reward": sum(r.total_reward for r in reports),
             "durations": sorted(d for r in reports for d in r.durations),
             "per_robot": reports,
+            "errors": {r.robot: r.error for r in reports if r.error},
         }
 
 
@@ -203,5 +220,8 @@ def serve_fleet(cfg, envs: Sequence, act_fn: Callable,
         out = FleetRunner(envs, srv, cfg,
                           env_units_baked=env_units_baked).run(
             episodes_per_robot)
-        out["serving"] = srv.stats()
+    # stats AFTER the worker has joined (the with-exit closes the server):
+    # the worker bumps its counters after fut.set_result, so reading inside
+    # the block can under-count the final batch
+    out["serving"] = srv.stats()
     return out

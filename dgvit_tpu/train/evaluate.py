@@ -279,6 +279,11 @@ def run_eval_fleet(cfg: Config, actor_params, max_episodes: int = 100,
             for i in range(n_robots)]
     out = serve_fleet(cfg, envs, act,
                       episodes_per_robot=max_episodes // n_robots)
+    if out["errors"]:
+        # FleetRunner returns partial results (robot errors attached); the
+        # EVAL protocol is strict — an incomplete campaign is not a result
+        raise RuntimeError(f"fleet eval incomplete, robots failed: "
+                           f"{out['errors']}")
 
     class _C:
         collision = out["collisions"]

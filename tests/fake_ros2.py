@@ -67,6 +67,29 @@ class LaserScan:
         self.ranges = list(ranges)
 
 
+class Marker:
+    CYLINDER = 3
+    ADD = 0
+
+    def __init__(self):
+        self.header = types.SimpleNamespace(frame_id="")
+        self.type = 0
+        self.action = 0
+        self.scale = _Vec()
+        self.color = types.SimpleNamespace(r=0.0, g=0.0, b=0.0, a=0.0)
+        self.pose = _Pose()
+
+
+class MarkerArray:
+    def __init__(self):
+        self.markers = []
+
+
+class Clock:
+    def __init__(self, sec=0, nanosec=0):
+        self.clock = types.SimpleNamespace(sec=sec, nanosec=nanosec)
+
+
 class Odometry:
     def __init__(self, x=0.0, y=0.0, qz=0.0, qw=1.0):
         self.pose = types.SimpleNamespace(pose=_Pose())
@@ -79,6 +102,10 @@ class Odometry:
 class _Future:
     def done(self):
         return True
+
+    def add_done_callback(self, cb):
+        # rclpy invokes the callback immediately when already complete
+        cb(self)
 
 
 class _Logger:
@@ -182,7 +209,9 @@ _FAKE_MODULES = ["rclpy", "rclpy.node", "rclpy.executors",
                  "std_srvs", "std_srvs.srv",
                  "gazebo_msgs", "gazebo_msgs.srv",
                  "nav_msgs", "nav_msgs.msg",
-                 "sensor_msgs", "sensor_msgs.msg"]
+                 "sensor_msgs", "sensor_msgs.msg",
+                 "visualization_msgs", "visualization_msgs.msg",
+                 "rosgraph_msgs", "rosgraph_msgs.msg"]
 
 
 def install() -> FakeWorld:
@@ -235,13 +264,26 @@ def install() -> FakeWorld:
     sens_msg.LaserScan = LaserScan
     sens.msg = sens_msg
 
+    vis = types.ModuleType("visualization_msgs")
+    vis_msg = types.ModuleType("visualization_msgs.msg")
+    vis_msg.Marker = Marker
+    vis_msg.MarkerArray = MarkerArray
+    vis.msg = vis_msg
+
+    rg = types.ModuleType("rosgraph_msgs")
+    rg_msg = types.ModuleType("rosgraph_msgs.msg")
+    rg_msg.Clock = Clock
+    rg.msg = rg_msg
+
     mods = {"rclpy": rclpy, "rclpy.node": rclpy_node,
             "rclpy.executors": rclpy_execs,
             "geometry_msgs": geom, "geometry_msgs.msg": geom_msg,
             "std_srvs": std_srvs, "std_srvs.srv": std_srvs_srv,
             "gazebo_msgs": gz, "gazebo_msgs.srv": gz_srv,
             "nav_msgs": nav, "nav_msgs.msg": nav_msg,
-            "sensor_msgs": sens, "sensor_msgs.msg": sens_msg}
+            "sensor_msgs": sens, "sensor_msgs.msg": sens_msg,
+            "visualization_msgs": vis, "visualization_msgs.msg": vis_msg,
+            "rosgraph_msgs": rg, "rosgraph_msgs.msg": rg_msg}
     sys.modules.update(mods)
     # force a fresh adapter import so HAS_ROS2 re-evaluates against the fakes
     _drop_adapter_module()

@@ -53,9 +53,15 @@ def test_fleet_matches_direct_run(actor_setup):
     cfg, act = actor_setup
     n = 4
 
-    # batched-server fleet
-    out_srv = serve_fleet(cfg, _kin_envs(n), act, episodes_per_robot=2,
-                          max_wait_ms=30.0)
+    # server pinned to bucket size 1 so every dispatch has EXACTLY the same
+    # shape as the direct batch-1 calls — XLA GEMM blocking can differ by
+    # batch shape, and tiny per-row action deltas compound over episode
+    # dynamics into different success/duration outcomes (ADVICE r3)
+    from dgvit_tpu.serve import BatchingActorServer
+
+    with BatchingActorServer(act, max_wait_ms=30.0, buckets=(1,)) as srv:
+        out_srv = FleetRunner(_kin_envs(n), srv, cfg).run(
+            episodes_per_robot=2)
     # same robots, direct per-request calls (no server, no coalescing)
     direct = FleetRunner(_kin_envs(n),
                          lambda o, g: np.asarray(act(o[None], g[None]))[0],
@@ -93,19 +99,129 @@ def test_fleet_coalesces_requests(actor_setup):
         assert d <= cfg.env.max_steps * dt + 1e-9
 
 
-def test_fleet_robot_error_propagates(actor_setup):
+def test_fleet_partial_failure_returns_completed_reports(actor_setup):
+    """One dead robot must not throw away the other N-1 robots' campaigns
+    (VERDICT r3 weak #4): the run returns every completed RobotReport with
+    the failing robot's error attached + server stats; the caller decides."""
     cfg, act = actor_setup
 
     class Boom:
         def reset(self):
             raise RuntimeError("sensor offline")
 
-    envs = _kin_envs(1) + [Boom()]
-    runner = FleetRunner(envs,
-                         lambda o, g: np.asarray(act(o[None], g[None]))[0],
-                         cfg)
-    with pytest.raises(RuntimeError, match="sensor offline"):
-        runner.run(episodes_per_robot=1)
+    envs = _kin_envs(2) + [Boom()]
+    out = serve_fleet(cfg, envs, act, episodes_per_robot=2, max_wait_ms=30.0)
+    assert out["errors"] == {2: "RuntimeError: sensor offline"}
+    assert out["per_robot"][2].error == "RuntimeError: sensor offline"
+    assert out["episodes"] == 4  # both healthy robots' campaigns completed
+    assert all(r.error is None and r.episodes == 2
+               for r in out["per_robot"][:2])
+    assert out["serving"]["rows"] >= 4
+
+    # the strict eval caller turns attached errors back into a failure
+    from dgvit_tpu.train import evaluate
+    import unittest.mock as mock
+
+    with mock.patch.object(evaluate, "KinematicNavEnv",
+                           side_effect=lambda **kw: Boom()), \
+            pytest.raises(RuntimeError, match="fleet eval incomplete"):
+        evaluate.run_eval_fleet(cfg, None, max_episodes=2, n_robots=2)
+
+
+def test_fleet_mid_campaign_death_keeps_finished_episodes(actor_setup):
+    """A robot dying between episodes still reports the episodes it
+    finished; the error marks the report."""
+    cfg, act = actor_setup
+
+    class DiesAfterOneEpisode:
+        def __init__(self, inner):
+            self.inner = inner
+            self.resets = 0
+            self.DT = inner.DT
+
+        def reset(self):
+            self.resets += 1
+            if self.resets > 1:
+                raise RuntimeError("battery died")
+            return self.inner.reset()
+
+        def step(self, a, t):
+            return self.inner.step(a, t)
+
+    envs = [_kin_envs(1)[0], DiesAfterOneEpisode(_kin_envs(2)[1])]
+    out = FleetRunner(envs,
+                      lambda o, g: np.asarray(act(o[None], g[None]))[0],
+                      cfg).run(episodes_per_robot=2)
+    assert out["errors"] == {1: "RuntimeError: battery died"}
+    assert out["per_robot"][0].episodes == 2
+    assert out["per_robot"][1].episodes == 1  # the one it finished counts
+    assert out["episodes"] == 3
+
+
+def test_bad_init_episode_excluded_from_stream_and_reward(actor_setup):
+    """testing.py:117-121 bad-init exclusion applies to EVERYTHING the
+    episode produced: not just the counters but also the on_transition
+    stream and total_reward (ADVICE r3) — replay consumers never ingest
+    data from episodes the protocol skips."""
+    cfg, act = actor_setup
+    from dgvit_tpu.envs.base import ResetResult, StepResult
+
+    class BadInit:
+        DT = 0.1
+
+        def reset(self):
+            return ResetResult(state=np.zeros((32, 40, 1), np.float32),
+                               xR=0.0, yR=0.0,
+                               to_goal=np.zeros(4, np.float32))
+
+        def step(self, a, t):
+            return StepResult(state=np.zeros((32, 40, 1), np.float32),
+                              reward=-100.0, done=True,
+                              to_goal=np.zeros(4, np.float32), target=False)
+
+    rows = []
+    out = FleetRunner([BadInit()],
+                      lambda o, g: np.asarray(act(o[None], g[None]))[0], cfg,
+                      on_transition=lambda *tr: rows.append(tr)).run(1)
+    assert out["bad_inits"] == 1 and out["episodes"] == 0
+    assert rows == []  # nothing streamed from the excluded episode
+    assert out["total_reward"] == 0.0
+
+
+def test_fleet_durations_use_sim_clock_when_available(actor_setup):
+    """With free-running Gazebo (manage_physics=False) sim time advances by
+    wall-clock x RTF; when the env exposes sim_now() (the /clock mailbox)
+    durations must come from the sim clock, not (t+1)*DT (ADVICE r3)."""
+    cfg, act = actor_setup
+    from dgvit_tpu.envs.base import ResetResult, StepResult
+
+    class ClockedEnv:
+        DT = 0.1
+
+        def __init__(self):
+            self.t = 0.0
+
+        def sim_now(self):
+            return self.t
+
+        def reset(self):
+            self.t = 5.0
+            return ResetResult(state=np.zeros((32, 40, 1), np.float32),
+                               xR=0.0, yR=0.0,
+                               to_goal=np.zeros(4, np.float32))
+
+        def step(self, a, t):
+            self.t += 0.25  # free-running at real-time-factor 2.5
+            hit = t == 2
+            return StepResult(state=np.zeros((32, 40, 1), np.float32),
+                              reward=1.0, done=hit,
+                              to_goal=np.zeros(4, np.float32), target=hit)
+
+    out = FleetRunner([ClockedEnv()],
+                      lambda o, g: np.asarray(act(o[None], g[None]))[0],
+                      cfg).run(1)
+    assert out["successes"] == 1
+    assert out["durations"] == [pytest.approx(0.75)]  # NOT 3 * 0.1
 
 
 def test_fleet_transition_stream(actor_setup):

@@ -200,6 +200,75 @@ def test_step_goal_reached_sets_target(ros2):
     assert s.reward > 100  # r_target=200 (env_lab.py:286)
 
 
+def test_image_decode_rgb8_and_bgr8_to_mono(ros2):
+    """Color cameras are converted to mono8 like cv_bridge's
+    imgmsg_to_cv2(..., 'mono8') (env_lab.py:460-471), not reshape-crashed."""
+    ros2_adapter, world = ros2
+    env, topic = _mk_env(ros2_adapter, world, sensor="image")
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(1, 255, (64, 80, 3)).astype(np.uint8)
+    want = (rgb.astype(np.float32)
+            @ np.array([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
+
+    world.deliver(topic, fake_ros2.Image(height=64, width=80, encoding="rgb8",
+                                         data=rgb.tobytes()))
+    np.testing.assert_array_equal(env._last_image, want)
+    assert env._last_image.dtype == np.uint8
+
+    world.deliver(topic, fake_ros2.Image(
+        height=64, width=80, encoding="bgr8",
+        data=rgb[..., ::-1].copy().tobytes()))
+    np.testing.assert_array_equal(env._last_image, want)
+
+
+def test_goal_marker_published_on_reset_and_step(ros2):
+    """The RViz goal cylinder (env_lab.py:254-271) rides every reset+step."""
+    ros2_adapter, world = ros2
+    recs = [{"xR": 0.0, "yR": 0.0, "xG": 3.0, "yG": 2.0}]
+    env, topic = _mk_env(ros2_adapter, world, records=recs)
+    _prime(world, topic)
+    env.reset()
+    markers = world.published.get("/goal_mark_array", [])
+    assert len(markers) == 1
+    m = markers[0].markers[0]
+    assert m.header.frame_id == "odom"
+    assert m.type == fake_ros2.Marker.CYLINDER
+    assert (m.pose.position.x, m.pose.position.y) == (3.0, 2.0)
+    assert (m.scale.x, m.scale.y, m.scale.z) == (0.3, 0.3, 0.01)
+    assert m.color.a == 1.0
+    env.step([0.1, 0.0], t=0)
+    assert len(world.published["/goal_mark_array"]) == 2
+
+
+def test_set_entity_does_not_spin_a_second_executor(ros2, monkeypatch):
+    """Reset must wait on the teleport future directly — spinning the node
+    from the reset thread conflicts with the per-env background executor
+    (and a fleet of N concurrent resets would all spin the global executor
+    at once)."""
+    ros2_adapter, world = ros2
+    import rclpy
+
+    def _boom(node, fut):
+        raise AssertionError("spin_until_future_complete must not be called")
+
+    monkeypatch.setattr(rclpy, "spin_until_future_complete", _boom)
+    recs = [{"xR": 0.0, "yR": 0.0, "xG": 1.0, "yG": 1.0}]
+    env, topic = _mk_env(ros2_adapter, world, records=recs)
+    _prime(world, topic)
+    env.reset()  # would raise if _set_entity still spins
+    assert len(world.calls("gazebo/set_entity_state")) == 2
+
+
+def test_sim_clock_mailbox(ros2):
+    """/clock feeds sim_now() — fleet durations can ride real sim time
+    instead of assuming real-time-factor 1 (free-running Gazebo)."""
+    ros2_adapter, world = ros2
+    env, topic = _mk_env(ros2_adapter, world)
+    assert env.sim_now() is None
+    world.deliver("/clock", fake_ros2.Clock(sec=12, nanosec=500_000_000))
+    assert env.sim_now() == pytest.approx(12.5)
+
+
 def test_step_infinite_ranges_sanitized(ros2):
     ros2_adapter, world = ros2
     env, topic = _mk_env(ros2_adapter, world)
