@@ -326,6 +326,15 @@ class SACAgent:
                                inference=True)
         return s.mean if evaluate else s.action
 
+    def act_batch(self, actor_params, obs, pobs, rng,
+                  evaluate: bool = False) -> jax.Array:
+        """Batched action from bare actor params — the serving-layer entry
+        (serve/fleet, train/train_fleet): callers that hold a latest-wins
+        params mailbox rather than a full SACTrainState. Stochastic unless
+        evaluate=True."""
+        return self._act(actor_params, rng, jnp.asarray(obs, jnp.float32),
+                         jnp.asarray(pobs, jnp.float32), evaluate, False)
+
     def choose_action(self, state: SACTrainState, obs, pobs, rng,
                       evaluate: bool = False,
                       dropout: Optional[bool] = None) -> jax.Array:

@@ -104,6 +104,46 @@ def ring_sample(ring: DeviceRing, key: jax.Array, batch: int) -> Dict:
     return ring_gather(ring, idx)
 
 
+def ring_save(ring: DeviceRing, path: str, chunk_rows: int = 1024):
+    """Chunked device->host ring snapshot. Fields are pulled in row slices
+    (obs+next_obs dominate at ~1.3 GB for cap 8192 @ 128x160 — a single
+    device_get would hold a second full copy in host RAM). Written
+    atomically (tmp + rename) so a crash mid-write never corrupts the
+    resumable snapshot. Uncompressed npz: depth floats compress poorly and
+    the write sits on the training critical path."""
+    import os
+
+    out = {}
+    for name in ring._fields:
+        v = getattr(ring, name)
+        if name == "cursor":
+            out[name] = np.asarray(v)
+            continue
+        out[name] = np.concatenate(
+            [np.asarray(v[i:i + chunk_rows])
+             for i in range(0, v.shape[0], chunk_rows)])
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
+
+
+def ring_load(path: str, like: DeviceRing) -> Optional[DeviceRing]:
+    """Restore a ring snapshot onto the device. Returns None (caller keeps
+    the cold ring) when the snapshot's geometry doesn't match the configured
+    ring — e.g. a resume with a different capacity or image size."""
+    with np.load(path) as d:
+        fields = {}
+        for name in like._fields:
+            want = getattr(like, name)
+            if name not in d.files or (name != "cursor"
+                                       and d[name].shape != want.shape):
+                return None
+            fields[name] = d[name]
+    return DeviceRing(
+        **{n: (jnp.int32(fields[n]) if n == "cursor"
+               else jnp.asarray(fields[n])) for n in like._fields})
+
+
 def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      chunk: int, updates_per_round: int, batch_size: int,
                      l_scale: float, a_scale: float,
@@ -284,7 +324,8 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 world: Optional[str] = None,
                 max_episodes: Optional[int] = None,
                 resume: bool = False,
-                expert_glob: Optional[str] = None) -> dict:
+                expert_glob: Optional[str] = None,
+                ring_snapshot_every: int = 20) -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
@@ -299,10 +340,15 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     fused-loop speed.
 
     resume=True restores the latest train-state checkpoint from the
-    checkpoint dir and recovers the cumulative round/goal/episode counters
-    from the run's JSONL, so a tunnel drop mid-run costs only the on-device
-    replay ring (rebuilt from fresh collection) — not the learned weights or
-    the episode budget accounting."""
+    checkpoint dir, recovers the cumulative round/goal/episode counters
+    from the run's JSONL, AND reloads the newest replay-ring snapshot
+    (`ring_latest.npz`, written every `ring_snapshot_every` checkpointed
+    segments; 0 disables) — a warm-buffer restart, matching the host path's
+    save_replay workflow (cpprb save/load_transitions, DRL.py:505-510).
+    What still differs after a warm resume: PER priorities reset to max
+    (exactly cpprb's load_transitions-through-add semantics) and the env
+    lanes re-reset (episodes in flight at the crash are abandoned — they
+    were never counted, so the budget accounting stays exact)."""
     import json as _json
     import os
 
@@ -385,6 +431,7 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
 
     logger = MetricsLogger(out_dir, f"train_fused_{cfg.model.name}_{t.desc}")
     ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
+    ring_path = os.path.join(ckpt_dir, "ring_latest.npz")
     done_rounds = goals = collisions = episodes = 0
     if resume:
         latest = ckpt.latest_checkpoint(ckpt_dir)
@@ -392,6 +439,21 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
             state = ckpt.restore_train_state(latest, state)
             print(f"[train_fused] resumed train state from {latest} "
                   f"(itera={int(state.itera)})", flush=True)
+        if os.path.exists(ring_path):
+            warm = ring_load(ring_path, ring)
+            if warm is None:
+                print("[train_fused] ring snapshot geometry mismatch — "
+                      "cold-buffer resume", flush=True)
+            else:
+                ring = warm
+                stored = int(np.minimum(np.asarray(ring.cursor), cap))
+                if prioritized:
+                    # cpprb load_transitions semantics: reloaded rows come
+                    # back at max priority (priorities are not persisted)
+                    from dgvit_tpu.replay.device_per import per_on_write
+                    per = per_on_write(per, jnp.arange(stored))
+                print(f"[train_fused] warm ring: {stored} transitions "
+                      f"restored", flush=True)
         if os.path.exists(logger.jsonl):
             with open(logger.jsonl) as f:
                 lines = [ln for ln in f if ln.strip()]
@@ -428,8 +490,16 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
         if t.save:
             ckpt.save_train_state(ckpt_dir, int(state.itera), state)
             ckpt.prune_checkpoints(ckpt_dir, keep=3)
+            segments_done = -(-done_rounds // rounds_per_dispatch)
+            if (ring_snapshot_every
+                    and segments_done % ring_snapshot_every == 0):
+                ring_save(ring, ring_path)
         if max_episodes is not None and episodes >= max_episodes:
             break
+    if t.save and ring_snapshot_every:
+        # final snapshot so an immediately-following --resume is warm even
+        # when the run ended between cadence points
+        ring_save(ring, ring_path)
     return {"rounds": done_rounds, "env_steps": done_rounds * n_envs * chunk,
             "goals": goals, "collisions": collisions, "episodes": episodes,
             "updates": int(state.itera), "state": state}
@@ -457,6 +527,11 @@ def main(argv=None):
     p.add_argument("--expert-glob", default=None,
                    help="demo npz glob for on-device expert guidance "
                         "(needs train.pre_buffer)")
+    p.add_argument("--ring-snapshot-every", type=int, default=20,
+                   help="persist the replay ring to ring_latest.npz every N "
+                        "checkpointed segments for warm-buffer --resume "
+                        "(0 = cold-buffer resume; the snapshot is ~1.3 GB "
+                        "at cap 8192 @ 128x160)")
     args = p.parse_args(argv)
     cfg = Config.from_yaml(args.config) if args.config else Config()
     out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,
@@ -465,7 +540,8 @@ def main(argv=None):
                       updates_per_round=args.updates_per_round,
                       ring_capacity=args.ring_capacity, world=args.world,
                       max_episodes=args.max_episodes, resume=args.resume,
-                      expert_glob=args.expert_glob)
+                      expert_glob=args.expert_glob,
+                      ring_snapshot_every=args.ring_snapshot_every)
     print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
           f"episodes: {out['episodes']}  goals: {out['goals']}  "
           f"collisions: {out['collisions']}  updates: {out['updates']}")

@@ -26,6 +26,7 @@ setup(
             "dgvit-teleop=dgvit_tpu.train.keyboard_control:main",
             "dgvit-train-vec=dgvit_tpu.train.vec_rollout:main",
             "dgvit-train-fused=dgvit_tpu.train.fused_train:main",
+            "dgvit-train-fleet=dgvit_tpu.train.train_fleet:main",
             "dgvit-export=dgvit_tpu.serve.export:main",
         ],
     },

@@ -6,8 +6,8 @@ import numpy as np
 import pytest
 
 from dgvit_tpu.config import Config
-from dgvit_tpu.train.fused_train import (ring_init, ring_sample, ring_write,
-                                         train_fused)
+from dgvit_tpu.train.fused_train import (ring_init, ring_load, ring_sample,
+                                         ring_save, ring_write, train_fused)
 
 
 def test_ring_wraparound_and_sampling():
@@ -51,6 +51,93 @@ def test_sample_respects_partial_fill():
     batch = ring_sample(ring, jax.random.PRNGKey(1), 32)
     # only the 3 valid rows may appear — never the zero-initialized tail
     assert np.isin(np.asarray(batch["rew"])[:, 0], [7.0, 8.0, 9.0]).all()
+
+
+def test_ring_save_load_roundtrip(tmp_path):
+    """Chunked device->host snapshot + restore is exact (chunk_rows smaller
+    than the ring forces the multi-slice path)."""
+    rng = np.random.default_rng(0)
+    ring = ring_init(8, (4, 5), pdim=2)
+    rows = {
+        "obs": rng.normal(size=(6, 4, 5)).astype(np.float32),
+        "act": rng.normal(size=(6, 2)).astype(np.float32),
+        "pobs": rng.normal(size=(6, 2)).astype(np.float32),
+        "next_pobs": rng.normal(size=(6, 2)).astype(np.float32),
+        "rew": rng.normal(size=(6,)).astype(np.float32),
+        "next_obs": rng.normal(size=(6, 4, 5)).astype(np.float32),
+        "done": np.zeros((6,), np.float32),
+    }
+    ring = ring_write(ring, {k: jnp.asarray(v) for k, v in rows.items()})
+    path = str(tmp_path / "ring.npz")
+    ring_save(ring, path, chunk_rows=3)
+    back = ring_load(path, ring_init(8, (4, 5), pdim=2))
+    assert back is not None
+    assert int(back.cursor) == 6
+    for name in ring._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(back, name)),
+                                      np.asarray(getattr(ring, name)))
+    # geometry mismatch (different capacity / image size) -> None, not a
+    # corrupt ring
+    assert ring_load(path, ring_init(16, (4, 5), pdim=2)) is None
+    assert ring_load(path, ring_init(8, (6, 5), pdim=2)) is None
+
+
+def test_train_fused_warm_ring_resume(tmp_path):
+    """--resume reloads ring_latest.npz: the resumed run's buffer picks up
+    where the crashed run's left off instead of refilling from zero
+    (VERDICT r3 weak #3 — warm-buffer fused restarts)."""
+    import json
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 4},
+        "train": {"pre_buffer": False, "pre_train": False, "save": True},
+    })
+    out1 = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                       rounds=2, rounds_per_dispatch=2, updates_per_round=1,
+                       ring_capacity=64, ring_snapshot_every=1)
+    snap = tmp_path / "checkpoints" / "ring_latest.npz"
+    assert snap.exists()
+    back = ring_load(str(snap), ring_init(64, (32, 40), pdim=2))
+    assert int(back.cursor) == out1["env_steps"] == 24
+
+    train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                rounds=4, rounds_per_dispatch=2, updates_per_round=1,
+                ring_capacity=64, resume=True, ring_snapshot_every=1)
+    jsonl = next(tmp_path.glob("train_fused_*.jsonl"))
+    rows = [json.loads(ln) for ln in jsonl.read_text().splitlines() if ln]
+    by_round = {r["step"]: r for r in rows}
+    # round 3 = first round after resume: 24 warm + 12 fresh rows stored
+    assert by_round[3]["buffer"] == 36.0  # cold resume would read 12
+    # a mismatched geometry falls back to a cold ring instead of crashing
+    out3 = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                       rounds=5, rounds_per_dispatch=1, updates_per_round=1,
+                       ring_capacity=32, resume=True)
+    assert out3["rounds"] == 5
+
+
+def test_train_fused_warm_ring_resume_per(tmp_path):
+    """Warm resume under on-device PER: reloaded rows come back at max
+    priority (cpprb load_transitions semantics) and sampling works."""
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128,
+                "prioritized_replay": True},
+        "env": {"max_steps": 4},
+        "train": {"pre_buffer": False, "pre_train": False, "save": True},
+    })
+    out1 = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                       rounds=1, rounds_per_dispatch=1, updates_per_round=1,
+                       ring_capacity=64, ring_snapshot_every=1)
+    assert (tmp_path / "checkpoints" / "ring_latest.npz").exists()
+    out2 = train_fused(cfg, out_dir=str(tmp_path), n_envs=2, chunk=6,
+                       rounds=2, rounds_per_dispatch=1, updates_per_round=1,
+                       ring_capacity=64, resume=True, ring_snapshot_every=0)
+    assert out2["rounds"] == 2
+    assert int(out2["state"].itera) > int(out1["state"].itera)
 
 
 @pytest.mark.slow
