@@ -67,7 +67,11 @@ class FleetRunner:
         # on_transition(robot, obs, action, goal, reward, next_obs,
         # next_goal, done) — a fleet-wide experience stream (the demo-npz
         # row layout, demonstration.py:237-245), called from robot threads;
-        # consumers (replay buffers, recorders) must be thread-safe
+        # consumers (replay buffers, recorders) must be thread-safe.
+        # Production consumer: train/train_fleet.py streams this into the
+        # shared replay buffer under a concurrent SAC learner (the
+        # reference's train-while-collect loop, main.py:369-394, at fleet
+        # scale). Excluded (bad-init) episodes are never streamed.
         self.on_transition = on_transition
 
     # -- one robot ------------------------------------------------------------
