@@ -180,12 +180,21 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
             state, metrics = agent.learn(state, to_batch(d))
         return state, metrics
 
-    t0 = time.time()
     fleet_out: dict = {}
     cap = max(n_robots, 1)
     buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64) if b <= cap) or (1,)
     if buckets[-1] < cap:
         buckets = buckets + (cap,)
+    # warm the bucket compile grid before any robot moves: a cold bucket
+    # compile (~20-40 s on a remote-attached chip) mid-campaign would stall
+    # every coalesced robot behind it and pollute throughput accounting
+    ih_, iw_ = cfg.model.image_size
+    warm_obs_shape = (obs_shape if cfg.model.patch_mode == "channels"
+                      else (ih_, iw_))
+    for b in buckets:
+        serve_act(np.zeros((b,) + warm_obs_shape, np.float32),
+                  np.zeros((b, 2), np.float32))
+    t0 = time.time()
     with BatchingActorServer(serve_act, max_wait_ms=max_wait_ms,
                              buckets=buckets) as srv:
         runner = FleetRunner(envs, srv, cfg, on_transition=collector)
