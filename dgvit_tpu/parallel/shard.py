@@ -90,8 +90,10 @@ def shardmap_learn(agent: SACAgent, runtime: MeshRuntime,
     data-only mesh for this path.
 
     flavor: 'plain' (learn), 'per' (learn_per, td out sharded over data),
-    'guided' (learn_guidence). `raw=True` returns the un-jitted shard-mapped
-    callable (composable inside a caller's jit/scan, e.g. bench loops)."""
+    'guided' (learn_guidence), 'guided_per' (learn_guidence_per — sharded
+    IS weights in, sharded per-agent-row td out). `raw=True` returns the
+    un-jitted shard-mapped callable (composable inside a caller's jit/scan,
+    e.g. bench loops)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -112,6 +114,13 @@ def shardmap_learn(agent: SACAgent, runtime: MeshRuntime,
     elif flavor == "guided":
         fn, in_specs, out_specs = (agent._guided_step_impl,
                                    (repl, dataP, dataP, repl), (repl, repl))
+    elif flavor == "guided_per":
+        # guided + PER composition: agent batch, expert batch, and IS
+        # weights sharded over data; n_expert replicated; per-agent-row TD
+        # errors come back sharded (priority updates index the global batch)
+        fn, in_specs, out_specs = (agent._guided_per_step_impl,
+                                   (repl, dataP, dataP, repl, dataP),
+                                   (repl, repl, dataP))
     else:
         raise ValueError(flavor)
 

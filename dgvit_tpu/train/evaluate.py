@@ -262,7 +262,8 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
 
 def run_eval_fleet(cfg: Config, actor_params, max_episodes: int = 100,
                    n_robots: int = 8, world: str = "rrc",
-                   out_dir: str = "results", name: str = "model") -> dict:
+                   out_dir: str = "results", name: str = "model",
+                   env_kind: str = "kinematic") -> dict:
     """The evaluation protocol as a FLEET: episodes split across n_robots
     concurrent KinematicNavEnv clients sharing one BatchingActorServer
     (serve/fleet.py), so the device sees coalesced bucket dispatches
@@ -274,9 +275,16 @@ def run_eval_fleet(cfg: Config, actor_params, max_episodes: int = 100,
         raise ValueError(f"--episodes {max_episodes} must divide evenly "
                          f"across --fleet {n_robots} robots")
     act = jax.jit(make_action_fn(cfg, actor_params))
-    envs = [KinematicNavEnv(seed=cfg.train.seed + i,
-                            image_hw=tuple(cfg.model.image_size), world=world)
-            for i in range(n_robots)]
+    if env_kind == "ros2":
+        # live multi-robot Gazebo world: namespaced adapters, free-running
+        # physics (serve/fleet.py make_ros2_fleet contract)
+        from dgvit_tpu.serve import make_ros2_fleet
+        envs = make_ros2_fleet(cfg, n_robots)
+    else:
+        envs = [KinematicNavEnv(seed=cfg.train.seed + i,
+                                image_hw=tuple(cfg.model.image_size),
+                                world=world)
+                for i in range(n_robots)]
     out = serve_fleet(cfg, envs, act,
                       episodes_per_robot=max_episodes // n_robots)
     if out["errors"]:
@@ -338,6 +346,12 @@ def main(argv=None):
                    help="run the protocol as N concurrent robots sharing "
                         "one micro-batching actor server (serve/fleet.py); "
                         "episodes split evenly across robots")
+    p.add_argument("--fleet-env", default="kinematic",
+                   choices=["kinematic", "ros2"],
+                   help="robot backend for --fleet: kinematic lanes (CI/"
+                        "bench) or namespaced GazeboRos2Env adapters over a "
+                        "live multi-robot Gazebo world (free-running "
+                        "physics)")
     p.add_argument("--vec-eval", action="store_true",
                    help="run ALL episodes at once as lanes of the pure-JAX "
                         "vectorized kinematic env — the whole protocol is "
@@ -388,7 +402,8 @@ def main(argv=None):
                 "--vec-eval nor --device-rollout")
     if args.fleet:
         out = run_eval_fleet(cfg, params, args.episodes, args.fleet,
-                             args.world, args.out, name)
+                             args.world, args.out, name,
+                             env_kind=args.fleet_env)
     elif args.vec_eval:
         out = run_eval_vec(cfg, params, args.episodes, args.world,
                            args.out, name, obs_noise=args.obs_noise,

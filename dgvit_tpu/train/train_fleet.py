@@ -101,7 +101,9 @@ def _build_expert_buffer(cfg: Config, expert_glob: Optional[str], obs_shape,
 def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
                 max_episodes: int = 100, expert_glob: Optional[str] = None,
                 updates_per_step: float = 1.0, max_wait_ms: float = 4.0,
-                log_every_updates: int = 200) -> dict:
+                log_every_updates: int = 200, mesh_data: int = 0,
+                resume: bool = False,
+                save_every_updates: int = 500) -> dict:
     """Train one SAC learner from N concurrently-collecting robots.
 
     envs: Env-protocol robots (KinematicNavEnv lanes, or namespaced
@@ -109,6 +111,11 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
     max_episodes: TOTAL episode budget, split evenly across robots.
     updates_per_step: target learner updates per collected env step
     (1.0 = the reference's one-update-per-step cadence, main.py:394).
+    mesh_data: >0 shards the LEARNER over a data mesh of that many devices
+    (parallel.shardmap_learn — equality-gated vs the single-device step);
+    batch_size stays the GLOBAL batch. Acting stays single-device: the
+    coalesced serving batches are tiny next to the chips' capacity, and a
+    grad_axis agent's row-indexed noise only resolves inside shard_map.
     """
     t, e, s = cfg.train, cfg.env, cfg.sac
     n_robots = len(envs)
@@ -116,11 +123,36 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
         raise ValueError(f"max_episodes {max_episodes} must divide evenly "
                          f"across {n_robots} robots")
     rng = RngStream(t.seed)
-    agent = SACAgent(cfg)
+    rt = None
+    if mesh_data:
+        from dgvit_tpu.core.mesh import AXIS_DATA, MeshRuntime
+        from dgvit_tpu.parallel import shardmap_learn
+
+        rt = MeshRuntime.create(data=mesh_data)
+        agent = SACAgent(cfg, grad_axis=AXIS_DATA)
+        act_agent = SACAgent(cfg)  # acting outside shard_map
+        sm_flavors = {
+            f: shardmap_learn(agent, rt, flavor=f)
+            for f in ("plain", "per", "guided", "guided_per")
+        }
+    else:
+        agent = SACAgent(cfg)
+        act_agent = agent
     state = agent.init_state(t.seed)
     if t.pre_train and t.pre_train_model:  # IL warm start (main.py:272-274)
         d, f = os.path.split(t.pre_train_model)
         state = agent.load(state, f, d or ".", actor_only=True)
+    if rt is not None:
+        state = jax.device_put(state, rt.replicated())
+    ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
+    if resume:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            state = ckpt.restore_train_state(latest, state)
+            if rt is not None:
+                state = jax.device_put(state, rt.replicated())
+            print(f"[train_fleet] resumed train state from {latest} "
+                  f"(itera={int(state.itera)})", flush=True)
 
     ih, iw = cfg.model.image_size
     obs_shape = ((e.frame_stack, ih, iw)
@@ -140,11 +172,24 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
 
     def serve_act(obs, goal):  # server worker thread, batched
         # stochastic actions: this is training collection, not eval
-        return np.asarray(agent.act_batch(params_box[0], obs, goal,
-                                          rng.next()))
+        return np.asarray(act_agent.act_batch(params_box[0], obs, goal,
+                                              rng.next()))
 
     def to_batch(d):
         return {k: jnp.asarray(v) for k, v in d.items()}
+
+    # mesh-sharded learner entrypoints fall back to the agent's jitted
+    # single-device steps when no mesh was requested
+    if rt is not None:
+        learn_plain = sm_flavors["plain"]
+        learn_per = sm_flavors["per"]
+        learn_guided = sm_flavors["guided"]
+        learn_guided_per = sm_flavors["guided_per"]
+    else:
+        learn_plain = agent.learn
+        learn_per = agent.learn_per
+        learn_guided = agent.learn_guidence
+        learn_guided_per = agent.learn_guidence_per
 
     def one_update(state):
         """One SAC update — the exact plain/PER/guided dispatch of the host
@@ -159,25 +204,25 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
             eb["act"] = eb.pop("act_exp")
             eb.pop("engage", None)
             if s.prioritized_replay and w is not None:
-                state, metrics, td = agent.learn_guidence_per(
+                state, metrics, td = learn_guided_per(
                     state, to_batch(ab), to_batch(eb), k, w)
                 buf.update_priorities(idx, np.abs(np.asarray(td)) + 1e-6)
             else:
-                state, metrics = agent.learn_guidence(
+                state, metrics = learn_guided(
                     state, to_batch(ab), to_batch(eb), k)
         elif s.prioritized_replay:
             d = buf.sample(s.batch_size)
             w = d.pop("weights")
             idx = d.pop("indexes")
             d.pop("engage", None)
-            state, metrics, td = agent.learn_per(state, to_batch(d), w)
+            state, metrics, td = learn_per(state, to_batch(d), w)
             buf.update_priorities(idx, np.abs(np.asarray(td)) + 1e-6)
         else:
             d = buf.sample(s.batch_size)
             d.pop("engage", None)
             d.pop("weights", None)
             d.pop("indexes", None)
-            state, metrics = agent.learn(state, to_batch(d))
+            state, metrics = learn_plain(state, to_batch(d))
         return state, metrics
 
     fleet_out: dict = {}
@@ -222,6 +267,10 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
                                **{k: float(v) for k, v in metrics.items()
                                   if k in ("alpha", "policy_loss", "qf1_loss",
                                            "entropy")})
+                if (t.save and save_every_updates
+                        and updates % save_every_updates == 0):
+                    ckpt.save_train_state(ckpt_dir, int(state.itera), state)
+                    ckpt.prune_checkpoints(ckpt_dir, keep=3)
             elif collecting:
                 time.sleep(0.001)  # wait for fresh experience
             else:
@@ -231,8 +280,7 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
 
     wall = time.time() - t0
     if t.save:
-        ckpt.save_train_state(os.path.join(out_dir, t.checkpoint_dir),
-                              int(state.itera), state)
+        ckpt.save_train_state(ckpt_dir, int(state.itera), state)
     out = {
         "state": state,
         "episodes": fleet_out.get("episodes", 0),
@@ -268,6 +316,17 @@ def main(argv=None):
     p.add_argument("--updates-per-step", type=float, default=1.0,
                    help="target learner updates per collected env step "
                         "(reference cadence = 1.0, main.py:394)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard the learner over a data mesh of N devices "
+                        "(parallel.shardmap_learn); batch_size stays the "
+                        "global batch")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest train-state checkpoint (warm "
+                        "weights; the replay buffer refills from fresh "
+                        "collection)")
+    p.add_argument("--save-every-updates", type=int, default=500,
+                   help="periodic full-train-state checkpoint cadence "
+                        "(0 = final save only)")
     p.add_argument("--out", default="results")
     args = p.parse_args(argv)
 
@@ -290,7 +349,9 @@ def main(argv=None):
     out = train_fleet(cfg, envs, out_dir=args.out,
                       max_episodes=args.episodes,
                       expert_glob=args.expert_glob,
-                      updates_per_step=args.updates_per_step)
+                      updates_per_step=args.updates_per_step,
+                      mesh_data=args.mesh_data, resume=args.resume,
+                      save_every_updates=args.save_every_updates)
     print(f"fleet train done: {out['successes']} successes / "
           f"{out['episodes']} episodes / {out['env_steps']} steps / "
           f"{out['updates']} updates in {out['wall_s']:.1f} s "

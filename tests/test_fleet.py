@@ -339,6 +339,43 @@ def test_ros2_fleet_namespaced_and_free_running(ros2):
     assert not world.calls("/pause_physics")
 
 
+def test_evaluate_fleet_ros2_env(ros2, monkeypatch, tmp_path):
+    """run_eval_fleet(env_kind='ros2'): the evaluation protocol over
+    namespaced live-Gazebo adapters (dgvit-test --fleet N --fleet-env ros2),
+    exercised over fake rclpy."""
+    import dgvit_tpu.serve as serve_pkg
+    from dgvit_tpu.train import evaluate
+
+    _, world = ros2
+    # adapter output is the reference frame geometry (128x160); model must
+    # match it, unlike the kinematic lanes which render any size
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 16, "mlp_dim": 32,
+                  "image_size": (128, 160), "patch_size": (64, 80)},
+        "env": {"max_steps": 3, "vis_sensor": "depth_image"},
+    })
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(0), np.zeros((1, 128, 160)),
+                        np.zeros((1, 2)))["params"]
+
+    real = serve_pkg.make_ros2_fleet
+
+    def primed(c, n, **kw):
+        recs = [[{"xR": 0.0, "yR": 0.0, "xG": 3.0, "yG": 0.0}]
+                for _ in range(n)]
+        envs = real(c, n, records_per_robot=recs, **kw)
+        for i in range(n):
+            _prime_robot(world, f"/robot{i}")
+        return envs
+
+    monkeypatch.setattr(serve_pkg, "make_ros2_fleet", primed)
+    out = evaluate.run_eval_fleet(cfg, params, max_episodes=2, n_robots=2,
+                                  out_dir=str(tmp_path), env_kind="ros2")
+    assert out["serving"]["rows"] >= 2  # robot actions rode the server
+    assert world.twists("/robot0/cmd_vel") and world.twists("/robot1/cmd_vel")
+    assert not world.calls("/unpause_physics")  # free-running fleet physics
+
+
 def test_ros2_single_robot_default_unchanged(ros2):
     """Default constructor args keep the reference single-robot contract
     (un-namespaced topics, 'scout' entity, managed pause/unpause)."""

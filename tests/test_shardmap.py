@@ -82,6 +82,12 @@ def _run_equality(flavor, monkeypatch, interpret_kernels):
               if k != "engage"}
         n_exp = jnp.asarray(5, jnp.int32)
         extra1 = extra2 = (eb, n_exp)
+    elif flavor == "guided_per":
+        eb = {k: v for k, v in make_batch(jax.random.PRNGKey(8), b=b).items()
+              if k != "engage"}
+        n_exp = jnp.asarray(5, jnp.int32)
+        w = jnp.abs(jax.random.normal(jax.random.PRNGKey(7), (b,))) + 0.5
+        extra1 = extra2 = (eb, n_exp, w)
 
     # single device, row-indexed noise (the sharded step's noise scheme)
     agent1 = SACAgent(cfg, row_noise=True)
@@ -90,6 +96,8 @@ def _run_equality(flavor, monkeypatch, interpret_kernels):
         s1, m1 = agent1._train_step(s1, batch)
     elif flavor == "per":
         s1, m1, td1 = agent1._per_step(s1, batch, *extra1)
+    elif flavor == "guided_per":
+        s1, m1, td1 = agent1._guided_per_step(s1, batch, *extra1)
     else:
         s1, m1 = agent1._guided_step(s1, batch, *extra1)
     m1 = {k: float(v) for k, v in m1.items()}
@@ -102,7 +110,7 @@ def _run_equality(flavor, monkeypatch, interpret_kernels):
     s2 = agent2.init_state(3)
     learn = shardmap_learn(agent2, runtime, flavor=flavor)
     out = learn(s2, batch, *extra2)
-    if flavor == "per":
+    if flavor in ("per", "guided_per"):
         s2, m2, td2 = out
         np.testing.assert_allclose(np.asarray(td2), np.asarray(td1),
                                    atol=5e-6, rtol=1e-4)
@@ -137,6 +145,12 @@ def test_shardmap_guided_flavor(monkeypatch):
     """Expert-validity mask uses GLOBAL row indexes and sum-form loss
     denominators psum over the axis."""
     _run_equality("guided", monkeypatch, interpret_kernels=False)
+
+
+def test_shardmap_guided_per_flavor(monkeypatch):
+    """guided+PER under the mesh: sharded IS weights in, sharded
+    per-agent-row TD errors out, same update as single-device."""
+    _run_equality("guided_per", monkeypatch, interpret_kernels=False)
 
 
 def test_row_noise_matches_default_distribution_shape():

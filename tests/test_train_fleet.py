@@ -105,6 +105,53 @@ def test_fleet_guided_variant(tmp_path):
     assert out["updates"] > 0 and out["errors"] == {}
 
 
+@pytest.mark.slow
+def test_fleet_mesh_sharded_learner(tmp_path):
+    """--mesh-data N: the fleet's learner runs as the equality-gated
+    shard_map DP step over an 8-device mesh while robots collect through
+    the (single-device) serving path — fleet collection composed with the
+    multi-chip learner."""
+    cfg = fleet_cfg()
+    out = train_fleet(cfg, _envs(2), out_dir=str(tmp_path), max_episodes=2,
+                      max_wait_ms=10.0, mesh_data=8)
+    assert out["errors"] == {}
+    assert out["updates"] > 0
+    assert int(out["state"].itera) == out["updates"]
+
+
+@pytest.mark.slow
+def test_fleet_mesh_sharded_learner_guided_per(tmp_path):
+    """guided+PER through the new shardmap_learn guided_per flavor, fed by
+    live fleet collection."""
+    from dgvit_tpu.train.demo_record import record_episodes, scripted_pilot
+
+    cfg = fleet_cfg(prioritized_replay=True)
+    cfg.train.pre_buffer = True
+    env = KinematicNavEnv(seed=0, image_hw=(32, 40))
+    record_episodes(env, scripted_pilot, str(tmp_path / "demos"),
+                    episodes=2, max_steps=20)
+    out = train_fleet(cfg, _envs(2), out_dir=str(tmp_path / "out"),
+                      max_episodes=2, mesh_data=8,
+                      expert_glob=str(tmp_path / "demos" / "RRC" / "jax"
+                                      / "*.npz"),
+                      max_wait_ms=10.0)
+    assert out["updates"] > 0 and out["errors"] == {}
+
+
+def test_fleet_resume(tmp_path):
+    """--resume restores the checkpointed train state (warm weights; the
+    buffer refills from fresh collection) and the learn-step counter
+    continues instead of resetting."""
+    cfg = fleet_cfg()
+    cfg.train.save = True
+    out1 = train_fleet(cfg, _envs(2), out_dir=str(tmp_path),
+                       max_episodes=2, max_wait_ms=10.0)
+    out2 = train_fleet(cfg, _envs(2), out_dir=str(tmp_path),
+                       max_episodes=2, max_wait_ms=10.0, resume=True)
+    assert int(out2["state"].itera) == \
+        int(out1["state"].itera) + out2["updates"]
+
+
 def test_fleet_episode_budget_must_divide():
     with pytest.raises(ValueError, match="divide evenly"):
         train_fleet(fleet_cfg(), _envs(3), max_episodes=4)
