@@ -55,7 +55,7 @@ run_stage results/gen_gw10_long/summary.done 10800 \
     --alpha-init 0.05 --alpha-max 2.0 --guidence-weight 10 \
     --out results/gen_gw10_long | tee results/gen_gw10_long.log"
 cp -f results/gen_gw10_long.log artifacts/r4/gen_gw10_long.log 2>/dev/null
-for f in results/gen_gw10_long/*testing_data*.txt; do
+for f in results/gen_gw10_long/*testing_data*.txt results/gen_gw10_long/eval/*testing_data*.txt; do
   [ -f "$f" ] && cp -f "$f" "artifacts/r4/gw10_long_$(basename "$f")"
 done
 
