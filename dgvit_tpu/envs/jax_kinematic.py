@@ -95,17 +95,7 @@ class VecStepOut(NamedTuple):
     truncated: jax.Array  # (B,) bool, max_steps cap hit (lane was reset too)
 
 
-def make_consts(world=None, records: Optional[Sequence[dict]] = None,
-                image_hw=(128, 160), max_steps: int = 800, seed: int = 0,
-                min_range: float = 0.2, n_records: int = 32) -> EnvConsts:
-    """Build EnvConsts mirroring KinematicNavEnv's constructor defaults
-    (kinematic.py:176-198) so the two envs are interchangeable."""
-    if isinstance(world, str) or world is None:
-        world = get_world(world or "rrc")
-    assert isinstance(world, WorldPreset)
-    recs = records or default_records(
-        n=n_records, seed=seed,
-        world=None if world.name == "rrc" else world)
+def _records_table(recs) -> np.ndarray:
     table = np.zeros((len(recs), 5), np.float32)
     for i, rec in enumerate(recs):
         table[i, 0] = rec["xR"]
@@ -114,6 +104,61 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
         table[i, 3] = rec["yG"]
         table[i, 4] = float(np.asarray(R.quaternion_yaw(
             rec.get("quaterW", 1.0), 0.0, 0.0, rec.get("quaterZ", 0.0))))
+    return table
+
+
+def make_consts(world=None, records: Optional[Sequence[dict]] = None,
+                image_hw=(128, 160), max_steps: int = 800, seed: int = 0,
+                min_range: float = 0.2, n_records: int = 32) -> EnvConsts:
+    """Build EnvConsts mirroring KinematicNavEnv's constructor defaults
+    (kinematic.py:176-198) so the two envs are interchangeable.
+
+    World ENSEMBLES (domain randomization — BENCH.md round 4: transfer is
+    world-diversity bound): pass `world="rand<K>"` (K procedurally-random
+    layouts, worlds.random_world, seeded from `seed`) or an explicit
+    list/tuple of WorldPresets sharing one arena. Lane i of the vectorized
+    env then lives in world `i % K` for the whole run — boxes become
+    (K, nb, 4) and per-world record tables (K, n_rec, 5); box counts pad
+    with far-away degenerate boxes (beyond max range, so they never hit).
+    Under a sharded collect (shardmap_collect) the lane->world map uses
+    LOCAL lane indices, i.e. each device carries its own copy of the
+    ensemble — fine for randomization, documented for exactness."""
+    if isinstance(world, str) and world.startswith("rand"):
+        from dgvit_tpu.envs.worlds import random_world
+        k = int(world[4:] or "8")
+        world = [random_world(1000 * seed + i) for i in range(k)]
+    if isinstance(world, (list, tuple)):
+        assert records is None, "per-world records are generated; " \
+                                "explicit records need a single world"
+        arenas = {w.arena for w in world}
+        assert len(arenas) == 1, f"ensemble worlds must share an arena: " \
+                                 f"{arenas}"
+        nb = max(len(w.boxes) for w in world)
+        far = (1e4, 1e4, 1e4, 1e4)  # beyond every max range: never hits
+        boxes = np.asarray(
+            [list(w.boxes) + [far] * (nb - len(w.boxes)) for w in world],
+            np.float32)                                     # (K, nb, 4)
+        tables = np.stack([
+            _records_table(default_records(n=n_records, seed=seed + i,
+                                           world=w))
+            for i, w in enumerate(world)])                  # (K, n_rec, 5)
+        e = KinematicNavEnv
+        return EnvConsts(
+            world=JaxWorld(boxes=jnp.asarray(boxes),
+                           arena=jnp.asarray(world[0].arena, jnp.float32)),
+            records=jnp.asarray(tables),
+            image_h=int(image_hw[0]), image_w=int(image_hw[1]),
+            laser_rays=e.LASER_RAYS, laser_fov=e.LASER_FOV,
+            laser_max=e.LASER_MAX, cam_fov=e.CAM_FOV, cam_near=e.CAM_CLIP[0],
+            cam_far=e.CAM_CLIP[1], min_range=float(min_range), dt=e.DT,
+            max_steps=int(max_steps))
+    if isinstance(world, str) or world is None:
+        world = get_world(world or "rrc")
+    assert isinstance(world, WorldPreset)
+    recs = records or default_records(
+        n=n_records, seed=seed,
+        world=None if world.name == "rrc" else world)
+    table = _records_table(recs)
     e = KinematicNavEnv  # shared sensor constants
     return EnvConsts(
         world=JaxWorld(boxes=jnp.asarray(world.boxes, jnp.float32),
@@ -129,7 +174,11 @@ def ray_distances(px: jax.Array, py: jax.Array, bearings: jax.Array,
                   world: JaxWorld, max_range: float) -> jax.Array:
     """Batched slab-method ray/AABB: px, py (B,), bearings (B, R) ->
     min distance (B, R) to any box or arena wall. Same math as
-    kinematic._ray_distances, broadcast over lanes (B, R, nb)."""
+    kinematic._ray_distances, broadcast over lanes (B, R, nb).
+
+    World ensembles: a (K, nb, 4) box table means lane i raycasts against
+    world i % K (make_consts world="rand<K>" contract)."""
+    n_lanes = px.shape[0]
     dx = jnp.cos(bearings)[..., None]          # (B, R, 1)
     dy = jnp.sin(bearings)[..., None]
     eps = 1e-12
@@ -137,9 +186,15 @@ def ray_distances(px: jax.Array, py: jax.Array, bearings: jax.Array,
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
     px = px[:, None, None]
     py = py[:, None, None]
-    bx = world.boxes                            # (nb, 4)
-    x0, x1 = bx[None, None, :, 0], bx[None, None, :, 1]
-    y0, y1 = bx[None, None, :, 2], bx[None, None, :, 3]
+    bx = world.boxes                            # (nb, 4) or (K, nb, 4)
+    if bx.ndim == 3:
+        lane_world = jnp.arange(n_lanes, dtype=jnp.int32) % bx.shape[0]
+        bx = bx[lane_world]                     # (B, nb, 4)
+        x0, x1 = bx[:, None, :, 0], bx[:, None, :, 1]
+        y0, y1 = bx[:, None, :, 2], bx[:, None, :, 3]
+    else:
+        x0, x1 = bx[None, None, :, 0], bx[None, None, :, 1]
+        y0, y1 = bx[None, None, :, 2], bx[None, None, :, 3]
 
     tx1 = (x0 - px) * inv_dx
     tx2 = (x1 - px) * inv_dx
@@ -182,8 +237,15 @@ def _laser(c: EnvConsts, x, y, theta) -> jax.Array:
 
 
 def _reset_fields(c: EnvConsts, rec_idx: jax.Array):
-    """Episode-start fields for (B,) record indices (kinematic.py:225-233)."""
-    rec = c.records[rec_idx % c.records.shape[0]]      # (B, 5)
+    """Episode-start fields for (B,) record indices (kinematic.py:225-233).
+    With a (K, n_rec, 5) ensemble table, lane i draws from world i % K's
+    own record bank (records are only valid in their world)."""
+    if c.records.ndim == 3:
+        lane = jnp.arange(rec_idx.shape[0],
+                          dtype=jnp.int32) % c.records.shape[0]
+        rec = c.records[lane, rec_idx % c.records.shape[1]]  # (B, 5)
+    else:
+        rec = c.records[rec_idx % c.records.shape[0]]      # (B, 5)
     x, y, gx, gy, theta = (rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3],
                            rec[:, 4])
     dist = jnp.sqrt((x - gx) ** 2 + (y - gy) ** 2)

@@ -62,9 +62,38 @@ HOSPITAL = WorldPreset(
 _PRESETS = {w.name: w for w in (RRC, HOSPITAL)}
 
 
+def random_world(seed: int, n_boxes: int = 8,
+                 arena: Tuple[float, float, float, float] = RRC.arena,
+                 size_range: Tuple[float, float] = (0.6, 2.8),
+                 name: str = None) -> WorldPreset:
+    """Procedurally-generated obstacle layout in an RRC-sized arena —
+    domain randomization for the transfer experiments (BENCH.md round 4:
+    'transfer is world-diversity bound'). Boxes are uniform random
+    axis-aligned rectangles; overlaps are allowed (they just merge into
+    bigger obstacles), and spawn/goal validity is the record sampler's job
+    (kinematic.default_records rejection-samples free, cleared positions).
+    Deterministic in `seed`. Note: connectivity is not checked — a rare
+    unreachable start/goal pair costs one timed-out episode, which the
+    training loop already absorbs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ax0, ax1, ay0, ay1 = arena
+    boxes = []
+    for _ in range(n_boxes):
+        w = float(rng.uniform(*size_range))
+        h = float(rng.uniform(*size_range))
+        cx = float(rng.uniform(ax0 + 0.5 + w / 2, ax1 - 0.5 - w / 2))
+        cy = float(rng.uniform(ay0 + 0.5 + h / 2, ay1 - 0.5 - h / 2))
+        boxes.append((cx - w / 2, cx + w / 2, cy - h / 2, cy + h / 2))
+    return WorldPreset(name=name or f"rand{seed}", boxes=tuple(boxes),
+                       arena=arena)
+
+
 def get_world(name: str) -> WorldPreset:
     try:
         return _PRESETS[name]
     except KeyError:
         raise KeyError(
-            f"unknown world {name!r}; available: {sorted(_PRESETS)}") from None
+            f"unknown world {name!r}; available: {sorted(_PRESETS)} "
+            "(vectorized-env ensembles also accept 'rand<K>')") from None

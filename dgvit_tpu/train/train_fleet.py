@@ -170,10 +170,21 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
     # update; the server worker reads whatever is current at dispatch time
     params_box = [state.actor_params]
 
+    # Device-dispatch lock: the learner thread and the server worker thread
+    # otherwise issue device_put/execute concurrently, and remote-attached
+    # PJRT backends are not reliably thread-safe under that (observed:
+    # INVALID_ARGUMENT from batched_device_put mid-campaign on the tunneled
+    # TPU). The lock serializes HOST-side dispatch only — device-side the
+    # two streams queue behind each other on one chip anyway, so the
+    # overlap this trainer exploits (host env stepping + frame ingest vs
+    # device compute) is untouched.
+    dev_lock = threading.Lock()
+
     def serve_act(obs, goal):  # server worker thread, batched
         # stochastic actions: this is training collection, not eval
-        return np.asarray(act_agent.act_batch(params_box[0], obs, goal,
-                                              rng.next()))
+        with dev_lock:
+            return np.asarray(act_agent.act_batch(params_box[0], obs, goal,
+                                                  rng.next()))
 
     def to_batch(d):
         return {k: jnp.asarray(v) for k, v in d.items()}
@@ -193,7 +204,9 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
 
     def one_update(state):
         """One SAC update — the exact plain/PER/guided dispatch of the host
-        loop (train_rl.py), minus the intervention-only branch."""
+        loop (train_rl.py), minus the intervention-only branch. Buffer
+        sampling is host-side C++ (its own lock); everything that touches
+        the device rides dev_lock (see above)."""
         if expert_buf is not None:
             ab = buf.sample(s.batch_size)
             w = ab.pop("weights", None)
@@ -258,7 +271,8 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
             behind = (buf.get_stored_size() >= s.batch_size
                       and updates < collector.steps * updates_per_step)
             if behind:
-                state, metrics = one_update(state)
+                with dev_lock:
+                    state, metrics = one_update(state)
                 params_box[0] = state.actor_params
                 updates += 1
                 if log_every_updates and updates % log_every_updates == 0:
@@ -269,7 +283,9 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
                                            "entropy")})
                 if (t.save and save_every_updates
                         and updates % save_every_updates == 0):
-                    ckpt.save_train_state(ckpt_dir, int(state.itera), state)
+                    with dev_lock:  # device->host pulls of the state tree
+                        ckpt.save_train_state(ckpt_dir, int(state.itera),
+                                              state)
                     ckpt.prune_checkpoints(ckpt_dir, keep=3)
             elif collecting:
                 time.sleep(0.001)  # wait for fresh experience

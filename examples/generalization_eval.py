@@ -86,10 +86,11 @@ def main(argv=None):
                         "dim)")
     p.add_argument("--dim-head", type=int, default=64)
     p.add_argument("--train-world", default="rrc",
-                   choices=["rrc", "hospital"],
-                   help="arena for the SAC fine-tune stage (demos/BC stay "
-                        "RRC — training on hospital turns the experiment "
-                        "into guided direct training on the harder world)")
+                   help="arena for the SAC fine-tune stage: rrc | hospital "
+                        "| rand<K> (fused tier: K-layout domain-"
+                        "randomization ensemble). Demos/BC stay RRC — "
+                        "training on hospital turns the experiment into "
+                        "guided direct training on the harder world")
     p.add_argument("--vec-eval", action="store_true",
                    help="single-dispatch vectorized evals (run_eval_vec) "
                         "instead of the per-step host loop")

@@ -42,11 +42,16 @@ def main(argv=None):
                         "episode budget with the whole round on device")
     p.add_argument("--n-envs", type=int, default=16)
     p.add_argument("--chunk", type=int, default=64)
-    p.add_argument("--world", default="rrc", choices=["rrc", "hospital"],
-                   help="arena preset for training AND eval (the hospital "
-                        "layout is the reference's generalization world, "
-                        "README.md:43-51; here it can be trained on "
-                        "directly at reference scale)")
+    p.add_argument("--world", default="rrc",
+                   help="arena preset for training (rrc | hospital | "
+                        "rand<K> — K procedurally-random layouts, fused/"
+                        "vec tiers only: domain randomization over lane "
+                        "ensembles, envs/jax_kinematic.make_consts)")
+    p.add_argument("--eval-world", default=None,
+                   help="arena preset for the final eval (defaults to "
+                        "--world; set e.g. --world rand8 --eval-world "
+                        "hospital for the domain-randomization transfer "
+                        "protocol)")
     p.add_argument("--alpha-max", type=float, default=None,
                    help="opt-in entropy-temperature ceiling (cfg.sac."
                         "alpha_max). The unclamped reference auto-tune "
@@ -111,8 +116,9 @@ def main(argv=None):
               f"episodes in {train_wall / 3600:.2f} h, max mean reward "
               f"{res['max_mean_reward']:.1f}", flush=True)
 
+    eval_world = args.eval_world or args.world
     if args.host_eval:
-        ev = KinematicNavEnv(seed=7, world=args.world)
+        ev = KinematicNavEnv(seed=7, world=eval_world)
         r = run_eval(cfg, ev, res["state"].actor_params,
                      max_episodes=args.eval_episodes, out_dir=args.out,
                      name="ref_scale_eval")
@@ -121,11 +127,12 @@ def main(argv=None):
         # backend the per-step host loop would cost hours
         cfg.train.seed = 7  # eval record table seed (matches the old env)
         r = run_eval_vec(cfg, res["state"].actor_params,
-                         max_episodes=args.eval_episodes, world=args.world,
+                         max_episodes=args.eval_episodes, world=eval_world,
                          out_dir=args.out, name="ref_scale_eval")
     summary = {
         "mode": "fused" if args.fused else "host_loop",
         "world": args.world,
+        "eval_world": eval_world,
         "alpha_max": args.alpha_max,
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],

@@ -1,0 +1,139 @@
+"""World ensembles / domain randomization for the vectorized env
+(envs/worlds.random_world + make_consts world="rand<K>").
+
+Motivated by the measured transfer ceiling (BENCH.md round 4: neither more
+data nor more episodes move hospital transfer past ~48% — world diversity
+is the binding constraint). Lane i of the vectorized env lives in world
+i % K; ray casting, record banks, and auto-reset must all follow that map.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgvit_tpu.config import Config
+from dgvit_tpu.envs.jax_kinematic import (_depth_image, _reset_fields,
+                                          make_consts, vec_reset, vec_step)
+from dgvit_tpu.envs.worlds import RRC, random_world
+
+
+def test_random_world_deterministic_and_in_arena():
+    w1 = random_world(7)
+    w2 = random_world(7)
+    w3 = random_world(8)
+    assert w1.boxes == w2.boxes
+    assert w1.boxes != w3.boxes
+    ax0, ax1, ay0, ay1 = w1.arena
+    assert w1.arena == RRC.arena
+    for x0, x1, y0, y1 in w1.boxes:
+        assert x0 < x1 and y0 < y1
+        assert ax0 < x0 and x1 < ax1 and ay0 < y0 and y1 < ay1
+
+
+def test_rand_spec_builds_ensemble_consts():
+    c = make_consts(world="rand4", image_hw=(32, 40), seed=3)
+    assert c.world.boxes.ndim == 3 and c.world.boxes.shape[0] == 4
+    assert c.records.ndim == 3 and c.records.shape[0] == 4
+    assert c.world.arena.shape == (4,)
+    # deterministic in seed
+    c2 = make_consts(world="rand4", image_hw=(32, 40), seed=3)
+    np.testing.assert_array_equal(np.asarray(c.world.boxes),
+                                  np.asarray(c2.world.boxes))
+
+
+def test_ensemble_lane_raycast_matches_single_world():
+    """Lane i's depth image against the ensemble == the same pose rendered
+    in world i % K alone — the per-lane box-table gather is exact."""
+    wa, wb = random_world(1), random_world(2)
+    ce = make_consts(world=[wa, wb], image_hw=(24, 32), seed=0)
+    ca = make_consts(world=wa, image_hw=(24, 32), seed=0)
+    cb = make_consts(world=wb, image_hw=(24, 32), seed=0)
+
+    x = jnp.asarray([0.3, 0.3], jnp.float32)
+    y = jnp.asarray([-0.2, -0.2], jnp.float32)
+    th = jnp.asarray([0.7, 0.7], jnp.float32)
+    img_e = np.asarray(_depth_image(ce, x, y, th))
+    img_a = np.asarray(_depth_image(ca, x[:1], y[:1], th[:1]))
+    img_b = np.asarray(_depth_image(cb, x[1:], y[1:], th[1:]))
+    np.testing.assert_array_equal(img_e[0], img_a[0])
+    np.testing.assert_array_equal(img_e[1], img_b[0])
+    # the two worlds genuinely differ
+    assert not np.array_equal(img_e[0], img_e[1])
+
+
+def test_ensemble_box_padding_never_hits():
+    """Worlds with fewer boxes pad with far-away boxes that cannot shadow
+    any real ray (they sit beyond every max range)."""
+    small = random_world(5, n_boxes=2)
+    big = random_world(6, n_boxes=6)
+    ce = make_consts(world=[small, big], image_hw=(16, 20), seed=0)
+    cs = make_consts(world=small, image_hw=(16, 20), seed=0)
+    assert ce.world.boxes.shape[1] == 6  # padded to the max box count
+    x = jnp.asarray([0.0, 0.0], jnp.float32)
+    y = jnp.asarray([0.0, 0.0], jnp.float32)
+    th = jnp.asarray([1.1, 1.1], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_depth_image(ce, x, y, th))[0],
+        np.asarray(_depth_image(cs, x[:1], y[:1], th[:1]))[0])
+
+
+def test_ensemble_reset_uses_per_world_record_banks():
+    c = make_consts(world="rand3", image_hw=(16, 20), seed=1, n_records=8)
+    rec_idx = jnp.zeros(6, jnp.int32)  # 6 lanes over 3 worlds
+    x, y, theta, gx, gy, dist = _reset_fields(c, rec_idx)
+    tables = np.asarray(c.records)
+    for lane in range(6):
+        w = lane % 3
+        np.testing.assert_allclose(
+            [float(x[lane]), float(y[lane]), float(gx[lane]),
+             float(gy[lane])], tables[w, 0, :4], rtol=1e-6)
+    # spawns are never inside their own world's boxes
+    boxes = np.asarray(c.world.boxes)
+    for lane in range(6):
+        bx = boxes[lane % 3]
+        inside = ((bx[:, 0] <= float(x[lane])) & (float(x[lane]) <= bx[:, 1])
+                  & (bx[:, 2] <= float(y[lane]))
+                  & (float(y[lane]) <= bx[:, 3]))
+        assert not inside.any()
+
+
+def test_ensemble_vec_step_and_autoreset():
+    c = make_consts(world="rand2", image_hw=(16, 20), seed=2, max_steps=3,
+                    n_records=4)
+    state, obs, to_goal = vec_reset(c, 4)
+    assert obs.shape == (4, 16, 20)
+    for _ in range(4):  # cross the max_steps boundary -> auto-resets fire
+        out = vec_step(c, state, jnp.tile(jnp.asarray([[0.2, 0.1]]), (4, 1)))
+        state = out.state
+    assert np.isfinite(np.asarray(out.reward)).all()
+    assert np.asarray(state.steps).max() <= 3
+
+
+def test_ensemble_through_fused_training(tmp_path):
+    """world='rand2' flows through train_fused end-to-end (the domain-
+    randomization training tier)."""
+    from dgvit_tpu.train.fused_train import train_fused
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 4},
+        "train": {"pre_buffer": False, "pre_train": False, "save": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=4, chunk=6,
+                      rounds=2, rounds_per_dispatch=2, updates_per_round=1,
+                      ring_capacity=64, world="rand2")
+    assert out["rounds"] == 2 and out["env_steps"] == 2 * 4 * 6
+
+
+def test_single_world_path_unchanged():
+    """The ensemble branch must not perturb the equality-gated single-world
+    path (trajectory parity vs KinematicNavEnv rides on it)."""
+    c1 = make_consts(world="rrc", image_hw=(16, 20), seed=0)
+    assert c1.world.boxes.ndim == 2 and c1.records.ndim == 2
+    with pytest.raises(AssertionError, match="share an arena"):
+        make_consts(world=[random_world(1),
+                           random_world(2, arena=(-9, 9, -9, 9))])
