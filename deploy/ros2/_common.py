@@ -12,17 +12,38 @@ import os
 import sys
 
 
+# vis_nav world files <-> envs/worlds presets (for the generated fallback)
+_WORLD_PRESET = {"final_world_presidence.world": "rrc",
+                 "final_world_presidence_box.world": "rrc",
+                 "hospital.world": "hospital"}
+
+
 def sim_asset(kind: str, default_name: str) -> str:
-    """Resolve a vis_nav sim asset (world/URDF), env-var override first."""
+    """Resolve a sim asset (world/URDF): env-var override first, then the
+    installed reference `vis_nav` package (a switch-over keeps the sim
+    untouched), else GENERATE the self-contained equivalent from the
+    framework's own constants (dgvit_tpu.envs.sim_assets — same sensor
+    geometry as the kinematic env, same obstacle tables as envs/worlds)."""
     env = {"world": "DGVIT_WORLD", "urdf": "DGVIT_URDF"}[kind]
     override = os.environ.get(env)
     if override:
         return override
-    from ament_index_python.packages import get_package_share_directory
+    try:
+        from ament_index_python.packages import get_package_share_directory
 
-    share = get_package_share_directory("vis_nav")
-    sub = {"world": "world", "urdf": os.path.join("description", "urdf")}
-    return os.path.join(share, sub[kind], default_name)
+        share = get_package_share_directory("vis_nav")
+        sub = {"world": "world", "urdf": os.path.join("description", "urdf")}
+        path = os.path.join(share, sub[kind], default_name)
+        if os.path.exists(path):
+            return path
+    except Exception:
+        pass
+    from dgvit_tpu.envs import sim_assets
+
+    preset = _WORLD_PRESET.get(default_name, "rrc")
+    paths = sim_assets.write_assets(sim_assets.default_asset_dir(),
+                                    worlds=[preset])
+    return paths["urdf" if kind == "urdf" else preset]
 
 
 def gzserver(world: str):

@@ -158,7 +158,8 @@ def _run_eval_device(cfg: Config, env: Env, actor_params, max_episodes: int,
 def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
                  world: str = "rrc", out_dir: str = "results",
                  name: str = "model", obs_noise: float = 0.0,
-                 occlusion: float = 0.0, greying: float = 0.0) -> dict:
+                 occlusion: float = 0.0, greying: float = 0.0,
+                 sweep=None):
     """All eval episodes at once: lanes = episodes on the pure-JAX
     vectorized kinematic env (envs/jax_kinematic.py), the whole protocol ONE
     jitted scan dispatch (vs one dispatch per step in the host loop — on a
@@ -174,7 +175,22 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
     dispatch): `obs_noise` adds N(0, sigma) on the [0,1] depth scale
     (add_nose's sigma=50/255 ~= 0.196), `occlusion` zeroes a random pixel
     fraction (pixel_occlusion), `greying` blends toward mid-grey
-    (greying_out)."""
+    (greying_out).
+
+    `sweep`: a list of {obs_noise, blur, occlusion, patch_occlusion,
+    greying} dicts — the whole robustness grid through ONE compile: the
+    fault magnitudes become dynamic scalars in the jitted program
+    (where-gated so a 0.0 knob is bit-identical to the unperturbed path)
+    and each point is one cheap dispatch. Two sweep-only knobs complete
+    the reference's five-fault family (env_lab.py:33-90): `blur` blends
+    toward the 5x5-Gaussian-blurred frame (add_nose's blur stage; the
+    blend factor is the jit-friendly severity dial — kernel size would
+    recompile), and `patch_occlusion` zeroes ONE random contiguous
+    rectangle of that area fraction per lane per step (the jittable
+    analog of superpixel_occlusion's contiguous-region dropout,
+    env_lab.py:49-59). Returns a list of reports (knob values folded in)
+    instead of a single dict. The static single-point path is unchanged —
+    it skips the perturbation RNG draws entirely when all knobs are 0."""
     import jax.numpy as jnp
 
     from dgvit_tpu.agents import SACAgent
@@ -191,8 +207,10 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
                          max_steps=e.max_steps, seed=cfg.train.seed)
     dt = float(consts.dt)
 
+    dyn = sweep is not None
+
     @jax.jit
-    def run(params, rng):
+    def run(params, rng, knobs):
         state, obs, goal = vec_reset(consts, max_episodes)
         if fs:
             obs = stack_init(obs, fs)
@@ -201,6 +219,46 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
         init = (state, obs, goal, f, f, f, jnp.zeros(b), f)
 
         def perturb(obs, key):
+            if dyn:
+                # dynamic knobs: one compile serves the whole sweep grid.
+                # where-gated so a 0.0 knob is bit-identical to clean obs
+                # (the draws still happen — their split count is fixed, so
+                # noise realizations are PAIRED across sweep points).
+                from dgvit_tpu.ops.preprocess import gaussian_blur
+
+                noise, blur, occ, patch, grey = (knobs[i] for i in range(5))
+                key, k = jax.random.split(key)
+                obs = jnp.where(
+                    noise > 0.0,
+                    jnp.clip(obs + noise * jax.random.normal(k, obs.shape),
+                             0.0, 1.0), obs)
+                obs = jnp.where(blur > 0.0,
+                                (1.0 - blur) * obs
+                                + blur * gaussian_blur(obs, 5), obs)
+                key, k = jax.random.split(key)
+                obs = jnp.where(
+                    occ > 0.0,
+                    obs * (jax.random.uniform(k, obs.shape) >= occ), obs)
+                # one random rectangle of `patch` area fraction per lane
+                # (contiguous-region dropout, superpixel_occlusion analog)
+                key, k = jax.random.split(key)
+                ih, iw = obs.shape[-2], obs.shape[-1]
+                side = jnp.sqrt(jnp.maximum(patch, 0.0))
+                ph, pw = side * ih, side * iw
+                ky, kx = jax.random.split(k)
+                y0 = jax.random.uniform(ky, (b,)) * (ih - ph)
+                x0 = jax.random.uniform(kx, (b,)) * (iw - pw)
+                yy = jax.lax.broadcasted_iota(jnp.float32, (ih, iw), 0)
+                xx = jax.lax.broadcasted_iota(jnp.float32, (ih, iw), 1)
+                ex = (1,) * (obs.ndim - 3)  # broadcast over frame-stack dim
+                y0 = y0.reshape((b,) + ex)[..., None, None]
+                x0 = x0.reshape((b,) + ex)[..., None, None]
+                keep = ~((yy >= y0) & (yy < y0 + ph)
+                         & (xx >= x0) & (xx < x0 + pw))
+                obs = jnp.where(patch > 0.0, obs * keep, obs)
+                obs = jnp.where(grey > 0.0,
+                                obs * (1.0 - grey) + 0.5 * grey, obs)
+                return obs
             if obs_noise > 0.0:
                 key, k = jax.random.split(key)
                 obs = jnp.clip(obs + obs_noise * jax.random.normal(
@@ -246,18 +304,34 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
             body, init, jnp.arange(e.max_steps))
         return succ, coll, dur, bad
 
-    succ, coll, dur, bad = run(actor_params,
-                               jax.random.PRNGKey(cfg.train.seed))
-    succ, coll, dur, bad = (np.asarray(succ), np.asarray(coll),
-                            np.asarray(dur), np.asarray(bad))
-    total_rel = int(max_episodes - bad.sum())
-    cntr2 = int(succ.sum())
-    durations = [float(d) for d in dur[succ]]
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    knob_keys = ("obs_noise", "blur", "occlusion", "patch_occlusion",
+                 "greying")
+    points = sweep if dyn else [
+        {"obs_noise": obs_noise, "occlusion": occlusion, "greying": greying}]
+    reports = []
+    for pt in points:
+        unknown = set(pt) - set(knob_keys)
+        assert not unknown, f"unknown sweep knobs: {sorted(unknown)}"
+        knobs = jnp.asarray([float(pt.get(k, 0.0)) for k in knob_keys],
+                            jnp.float32)
+        succ, coll, dur, bad = run(actor_params, rng, knobs)
+        succ, coll, dur, bad = (np.asarray(succ), np.asarray(coll),
+                                np.asarray(dur), np.asarray(bad))
+        total_rel = int(max_episodes - bad.sum())
+        cntr2 = int(succ.sum())
+        durations = [float(d) for d in dur[succ]]
 
-    class _C:  # collision count carrier for _report
-        collision = int(coll.sum())
+        class _C:  # collision count carrier for _report
+            collision = int(coll.sum())
 
-    return _report(cfg, _C(), cntr2, total_rel, durations, out_dir, name)
+        tag = name if not dyn else (
+            name + " " + ",".join(f"{k}={v}" for k, v in sorted(pt.items())
+                                  if v))
+        rep = _report(cfg, _C(), cntr2, total_rel, durations, out_dir, tag)
+        rep.update({k: float(pt.get(k, 0.0)) for k in knob_keys})
+        reports.append(rep)
+    return reports if dyn else reports[0]
 
 
 def run_eval_fleet(cfg: Config, actor_params, max_episodes: int = 100,

@@ -273,7 +273,11 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
             if behind:
                 with dev_lock:
                     state, metrics = one_update(state)
-                params_box[0] = state.actor_params
+                    # publish BEFORE releasing the lock: the update donated
+                    # the old state tree, so a server dispatch that won the
+                    # lock while the box still held the old actor_params
+                    # would Execute() on a deleted/donated buffer
+                    params_box[0] = state.actor_params
                 updates += 1
                 if log_every_updates and updates % log_every_updates == 0:
                     logger.log(updates, steps=collector.steps,

@@ -28,6 +28,7 @@ setup(
             "dgvit-train-fused=dgvit_tpu.train.fused_train:main",
             "dgvit-train-fleet=dgvit_tpu.train.train_fleet:main",
             "dgvit-export=dgvit_tpu.serve.export:main",
+            "dgvit-sim-assets=dgvit_tpu.envs.sim_assets:main",
         ],
     },
 )

@@ -251,6 +251,41 @@ def test_vec_eval_perturbations_run(tmp_path):
         assert 0 <= out["successes"] <= 4
 
 
+def test_vec_eval_sweep_matches_static(tmp_path):
+    """The dynamic-knob sweep path (one compile for the whole grid): a
+    0-knob sweep point is where-gated to bit-identical clean obs, so its
+    per-episode outcome EQUALS the static unperturbed path; non-zero points
+    match their static (recompiled) twins; reports carry the knob values."""
+    import jax
+
+    from dgvit_tpu.models import build_actor
+    from dgvit_tpu.train.evaluate import run_eval_vec
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "env": {"max_steps": 15},
+    })
+    actor = build_actor(cfg)
+    params = actor.init(jax.random.PRNGKey(3), np.zeros((1, 32, 40)),
+                        np.zeros((1, 2)))["params"]
+    grid = [{}, {"greying": 0.9}, {"blur": 1.0}, {"patch_occlusion": 0.3},
+            {"obs_noise": 0.2, "blur": 0.5, "occlusion": 0.1,
+             "patch_occlusion": 0.1, "greying": 0.2}]
+    reps = run_eval_vec(cfg, params, 6, "rrc", str(tmp_path / "s"), "m",
+                        sweep=grid)
+    assert len(reps) == 5 and reps[1]["greying"] == 0.9
+    assert all(0 <= r["successes"] <= 6 for r in reps)
+    clean = run_eval_vec(cfg, params, 6, "rrc", str(tmp_path / "c"), "m")
+    assert reps[0]["successes"] == clean["successes"]
+    assert reps[0]["collisions"] == clean["collisions"]
+    assert reps[0]["durations"] == clean["durations"]
+    grey = run_eval_vec(cfg, params, 6, "rrc", str(tmp_path / "g"), "m",
+                        greying=0.9)
+    assert reps[1]["successes"] == grey["successes"]
+    assert reps[1]["collisions"] == grey["collisions"]
+
+
 @pytest.mark.slow
 def test_shardmap_collect_matches_unsharded():
     """Lane-sharded collection over the 8-device data axis reproduces the
