@@ -58,19 +58,50 @@ def load_actor(cfg: Config, path: str):
     return ckpt.load_params_npz(path, template)
 
 
+def load_checkpoint_actor(cfg: Config, path: str):
+    """Actor params out of a full train-state checkpoint (a step_N dir or a
+    checkpoints/ dir, newest step) — same contract as `dgvit-test
+    --checkpoint`."""
+    import os
+
+    from dgvit_tpu.agents.sac import SACAgent
+
+    if not os.path.basename(os.path.normpath(path)).startswith("step_"):
+        newest = ckpt.latest_checkpoint(path)
+        assert newest is not None, f"no step_* checkpoints under {path}"
+        path = newest
+    state = ckpt.restore_train_state(path, SACAgent(cfg).init_state(
+        cfg.train.seed))
+    return state.actor_params, os.path.basename(path)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--actor", required=True)
+    p.add_argument("--actor", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="full train-state checkpoint (step_N or checkpoints/"
+                        " dir) instead of an actor npz")
     p.add_argument("--worlds", nargs="+", default=["rrc", "hospital"])
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--out", default="results/robustness")
     p.add_argument("--config", default=None)
+    p.add_argument("--export-actor", default=None,
+                   help="also save the loaded actor params to this npz "
+                        "(durable artifact for checkpoint-loaded sweeps)")
     args = p.parse_args(argv)
+    if bool(args.actor) == bool(args.checkpoint):
+        p.error("exactly one of --actor / --checkpoint is required")
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
     cfg.model.compute_dtype = "bfloat16"
-    params = load_actor(cfg, args.actor)
-    name = Path(args.actor).stem
+    if args.checkpoint:
+        params, name = load_checkpoint_actor(cfg, args.checkpoint)
+    else:
+        params, name = load_actor(cfg, args.actor), Path(args.actor).stem
+    if args.export_actor:
+        d = Path(args.export_actor)
+        ckpt.save_params_npz(str(d.parent), d.name.removesuffix(".npz")
+                             .removesuffix("_actor"), params)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
