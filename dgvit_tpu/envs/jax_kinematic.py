@@ -116,13 +116,19 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
     World ENSEMBLES (domain randomization — BENCH.md round 4: transfer is
     world-diversity bound): pass `world="rand<K>"` (K procedurally-random
     layouts, worlds.random_world, seeded from `seed`) or an explicit
-    list/tuple of WorldPresets sharing one arena. Lane i of the vectorized
-    env then lives in world `i % K` for the whole run — boxes become
-    (K, nb, 4) and per-world record tables (K, n_rec, 5); box counts pad
-    with far-away degenerate boxes (beyond max range, so they never hit).
-    Under a sharded collect (shardmap_collect) the lane->world map uses
-    LOCAL lane indices, i.e. each device carries its own copy of the
-    ensemble — fine for randomization, documented for exactness."""
+    list/tuple of WorldPresets sharing one arena. Boxes become (K, nb, 4)
+    and per-world record tables (K, n_rec, 5); box counts pad with
+    far-away degenerate boxes (beyond max range, so they never hit).
+
+    Lane->world assignment RESAMPLES EVERY RESET: a lane's world is a
+    multiplicative hash of its episode record index (`_world_of`), so the
+    whole ensemble is visited even when K exceeds the lane count — the
+    round-4 dr_rand32 arm measured bit-identical to dr_rand16 because the
+    previous STATIC `lane % K` map could never expose worlds beyond
+    n_envs (BENCH.md round 4 stage C). The hash is deterministic in
+    rec_idx, so replays are exact and sharded collection (which strides
+    rec_idx globally, shardmap_collect) sees the same world stream as an
+    unsharded run."""
     if isinstance(world, str) and world.startswith("rand"):
         from dgvit_tpu.envs.worlds import random_world
         k = int(world[4:] or "8")
@@ -170,14 +176,36 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
         min_range=float(min_range), dt=e.DT, max_steps=int(max_steps))
 
 
+def _world_of(c: EnvConsts, rec_idx: jax.Array) -> Optional[jax.Array]:
+    """Per-lane world index for the episode identified by rec_idx, or None
+    for single-world consts. Knuth multiplicative hash (odd constant, a
+    bijection mod 2^32) so the world RESAMPLES at every auto-reset
+    (rec_idx strides by the lane count) for ANY (n_envs, K) pair —
+    `rec_idx % K` alone is constant per lane whenever K divides n_envs,
+    and the pre-round-4 static `lane % K` map never exposed worlds beyond
+    n_envs at all. Deterministic in rec_idx: replays are exact, sharded
+    and unsharded lane streams agree."""
+    k = c.world.boxes.shape[0] if c.world.boxes.ndim == 3 else 0
+    if not k:
+        return None
+    h = rec_idx.astype(jnp.uint32) * jnp.uint32(2654435761)
+    h = h ^ (h >> jnp.uint32(16))   # fold high bits down: a bare odd-mult
+    #                                 preserves low-bit parity, so power-of-2
+    #                                 K with an even lane stride degenerates
+    return (h % jnp.uint32(k)).astype(jnp.int32)
+
+
 def ray_distances(px: jax.Array, py: jax.Array, bearings: jax.Array,
-                  world: JaxWorld, max_range: float) -> jax.Array:
+                  world: JaxWorld, max_range: float,
+                  world_idx: Optional[jax.Array] = None) -> jax.Array:
     """Batched slab-method ray/AABB: px, py (B,), bearings (B, R) ->
     min distance (B, R) to any box or arena wall. Same math as
     kinematic._ray_distances, broadcast over lanes (B, R, nb).
 
-    World ensembles: a (K, nb, 4) box table means lane i raycasts against
-    world i % K (make_consts world="rand<K>" contract)."""
+    World ensembles: with a (K, nb, 4) box table, lane i raycasts against
+    world `world_idx[i]` (the per-episode assignment, _world_of); a None
+    world_idx falls back to the static `i % K` map (direct rendering
+    calls that have no episode context)."""
     n_lanes = px.shape[0]
     dx = jnp.cos(bearings)[..., None]          # (B, R, 1)
     dy = jnp.sin(bearings)[..., None]
@@ -188,7 +216,8 @@ def ray_distances(px: jax.Array, py: jax.Array, bearings: jax.Array,
     py = py[:, None, None]
     bx = world.boxes                            # (nb, 4) or (K, nb, 4)
     if bx.ndim == 3:
-        lane_world = jnp.arange(n_lanes, dtype=jnp.int32) % bx.shape[0]
+        lane_world = (world_idx if world_idx is not None else
+                      jnp.arange(n_lanes, dtype=jnp.int32) % bx.shape[0])
         bx = bx[lane_world]                     # (B, nb, 4)
         x0, x1 = bx[:, None, :, 0], bx[:, None, :, 1]
         y0, y1 = bx[:, None, :, 2], bx[:, None, :, 3]
@@ -218,32 +247,32 @@ def ray_distances(px: jax.Array, py: jax.Array, bearings: jax.Array,
     return best
 
 
-def _depth_image(c: EnvConsts, x, y, theta) -> jax.Array:
+def _depth_image(c: EnvConsts, x, y, theta, world_idx=None) -> jax.Array:
     """(B,) pose -> (B, h, w) column-depth image — kinematic.py:207-218."""
     half = c.cam_fov / 2
     cols = jnp.linspace(half, -half, c.image_w)
     bearings = theta[:, None] + cols[None, :]
-    d = ray_distances(x, y, bearings, c.world, c.cam_far)
+    d = ray_distances(x, y, bearings, c.world, c.cam_far, world_idx)
     d = jnp.clip(d, c.cam_near, c.cam_far)
     ramp = jnp.linspace(1.0, 0.85, c.image_h)[:, None]
     return (d[:, None, :] / c.cam_far) * ramp[None]
 
 
-def _laser(c: EnvConsts, x, y, theta) -> jax.Array:
+def _laser(c: EnvConsts, x, y, theta, world_idx=None) -> jax.Array:
     half = c.laser_fov / 2
     rays = jnp.linspace(-half, half, c.laser_rays)
     return ray_distances(x, y, theta[:, None] + rays[None, :],
-                         c.world, c.laser_max)
+                         c.world, c.laser_max, world_idx)
 
 
 def _reset_fields(c: EnvConsts, rec_idx: jax.Array):
     """Episode-start fields for (B,) record indices (kinematic.py:225-233).
-    With a (K, n_rec, 5) ensemble table, lane i draws from world i % K's
-    own record bank (records are only valid in their world)."""
+    With a (K, n_rec, 5) ensemble table, each lane draws from the record
+    bank of the world its episode is assigned to (_world_of(rec_idx) —
+    records are only valid in their own world)."""
     if c.records.ndim == 3:
-        lane = jnp.arange(rec_idx.shape[0],
-                          dtype=jnp.int32) % c.records.shape[0]
-        rec = c.records[lane, rec_idx % c.records.shape[1]]  # (B, 5)
+        rec = c.records[_world_of(c, rec_idx),
+                        rec_idx % c.records.shape[1]]      # (B, 5)
     else:
         rec = c.records[rec_idx % c.records.shape[0]]      # (B, 5)
     x, y, gx, gy, theta = (rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3],
@@ -260,7 +289,7 @@ def vec_reset(c: EnvConsts, batch: int):
     state = VecState(x=x, y=y, theta=theta, goal_x=gx, goal_y=gy,
                      dist_old=dist, rec_idx=rec_idx,
                      steps=jnp.zeros(batch, jnp.int32))
-    obs = _depth_image(c, x, y, theta)
+    obs = _depth_image(c, x, y, theta, _world_of(c, rec_idx))
     to_goal = jax.vmap(
         lambda a, b, g1, g2, th: R.polar_goal(a, b, g1, g2, th))(
         x, y, gx, gy, theta).astype(jnp.float32)
@@ -277,18 +306,19 @@ def vec_step(c: EnvConsts, s: VecState, action: jax.Array,
     streams visit identical record sequences."""
     b = int(stride) if stride is not None else action.shape[0]
     v, w = action[:, 0], action[:, 1]
+    cur_world = _world_of(c, s.rec_idx)   # episode's world, fixed at reset
     theta = jnp.arctan2(jnp.sin(s.theta + w * c.dt),
                         jnp.cos(s.theta + w * c.dt))
     x = s.x + v * jnp.cos(theta) * c.dt
     y = s.y + v * jnp.sin(theta) * c.dt
 
-    ranges = _laser(c, x, y, theta)
+    ranges = _laser(c, x, y, theta, cur_world)
     valid = ranges > 0
     collided = jnp.any(valid & (ranges < c.min_range), axis=-1)
     dist = jnp.sqrt((x - s.goal_x) ** 2 + (y - s.goal_y) ** 2)
     out = R.step_reward(s.dist_old, dist, collided, v, w)
 
-    next_obs = _depth_image(c, x, y, theta)
+    next_obs = _depth_image(c, x, y, theta, cur_world)
     next_to_goal = jax.vmap(R.polar_goal)(
         x, y, s.goal_x, s.goal_y, theta, v, w).astype(jnp.float32)
 
@@ -307,7 +337,7 @@ def vec_step(c: EnvConsts, s: VecState, action: jax.Array,
         rec_idx=new_idx,
         steps=jnp.where(restart, 0, steps).astype(jnp.int32))
 
-    reset_obs = _depth_image(c, rx, ry, rtheta)
+    reset_obs = _depth_image(c, rx, ry, rtheta, _world_of(c, new_idx))
     reset_goal = jax.vmap(
         lambda a, bb, g1, g2, th: R.polar_goal(a, bb, g1, g2, th))(
         rx, ry, rgx, rgy, rtheta).astype(jnp.float32)

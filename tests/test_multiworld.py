@@ -3,8 +3,11 @@
 
 Motivated by the measured transfer ceiling (BENCH.md round 4: neither more
 data nor more episodes move hospital transfer past ~48% — world diversity
-is the binding constraint). Lane i of the vectorized env lives in world
-i % K; ray casting, record banks, and auto-reset must all follow that map.
+is the binding constraint). A lane's world is assigned PER EPISODE by a
+deterministic hash of its record index (_world_of): ray casting, record
+banks, and auto-reset must all follow that assignment, and ensembles
+larger than the lane count must actually get visited (the dr_rand32 ==
+dr_rand16 regression, BENCH.md round 4 stage C).
 """
 
 import numpy as np
@@ -15,7 +18,8 @@ import jax.numpy as jnp
 
 from dgvit_tpu.config import Config
 from dgvit_tpu.envs.jax_kinematic import (_depth_image, _reset_fields,
-                                          make_consts, vec_reset, vec_step)
+                                          _world_of, make_consts, vec_reset,
+                                          vec_step)
 from dgvit_tpu.envs.worlds import RRC, random_world
 
 
@@ -81,22 +85,75 @@ def test_ensemble_box_padding_never_hits():
 
 def test_ensemble_reset_uses_per_world_record_banks():
     c = make_consts(world="rand3", image_hw=(16, 20), seed=1, n_records=8)
-    rec_idx = jnp.zeros(6, jnp.int32)  # 6 lanes over 3 worlds
+    rec_idx = jnp.arange(6, dtype=jnp.int32)  # 6 episode slots, 3 worlds
     x, y, theta, gx, gy, dist = _reset_fields(c, rec_idx)
     tables = np.asarray(c.records)
+    widx = np.asarray(_world_of(c, rec_idx))
     for lane in range(6):
-        w = lane % 3
+        w = int(widx[lane])
         np.testing.assert_allclose(
             [float(x[lane]), float(y[lane]), float(gx[lane]),
-             float(gy[lane])], tables[w, 0, :4], rtol=1e-6)
+             float(gy[lane])], tables[w, lane % 8, :4], rtol=1e-6)
     # spawns are never inside their own world's boxes
     boxes = np.asarray(c.world.boxes)
     for lane in range(6):
-        bx = boxes[lane % 3]
+        bx = boxes[int(widx[lane])]
         inside = ((bx[:, 0] <= float(x[lane])) & (float(x[lane]) <= bx[:, 1])
                   & (bx[:, 2] <= float(y[lane]))
                   & (float(y[lane]) <= bx[:, 3]))
         assert not inside.any()
+
+
+def test_world_resamples_every_reset_and_covers_big_ensembles():
+    """The dr_rand32 regression: with K=32 worlds and only 4 lanes, the
+    per-episode hash must (a) change a lane's world across resets even
+    when K divides the lane count, and (b) visit many more worlds than
+    the lane count over a run — the static lane % K map could do
+    neither."""
+    c = make_consts(world="rand32", image_hw=(16, 20), seed=0)
+    B = 4
+    # lane i's rec_idx stream across auto-resets: i, i+B, i+2B, ...
+    episodes = 64
+    lane_worlds = np.asarray(_world_of(
+        c, jnp.asarray([[i + t * B for t in range(episodes)]
+                        for i in range(B)], jnp.int32)))
+    for i in range(B):
+        assert len(set(lane_worlds[i].tolist())) > 1   # (a) resamples
+    visited = set(lane_worlds.ravel().tolist())
+    assert len(visited) > B                            # (b) beyond lanes
+    assert visited <= set(range(32))
+    # K | B case too (the pure `rec_idx % K` scheme is constant here)
+    c8 = make_consts(world="rand2", image_hw=(16, 20), seed=0)
+    stream = np.asarray(_world_of(
+        c8, jnp.asarray([0, 8, 16, 24, 32, 40], jnp.int32)))
+    assert len(set(stream.tolist())) > 1
+
+
+def test_render_follows_per_episode_world():
+    """vec_step's pre-reset sensors raycast in the episode's assigned
+    world, not in lane % K: lane obs == the same pose rendered alone in
+    world _world_of(rec_idx)."""
+    from dgvit_tpu.envs.worlds import WorldPreset
+
+    c = make_consts(world="rand4", image_hw=(16, 20), seed=5, n_records=4)
+    state, obs, _ = vec_reset(c, 2)
+    # advance rec_idx past one auto-reset so assignment != episode 0's
+    state = state._replace(rec_idx=jnp.asarray([6, 7], jnp.int32))
+    out = vec_step(c, state, jnp.tile(jnp.asarray([[0.2, 0.1]]), (2, 1)))
+    widx = np.asarray(_world_of(c, state.rec_idx))
+    worlds = np.asarray(c.world.boxes)
+    arena = tuple(float(v) for v in np.asarray(c.world.arena))
+    for lane in range(2):
+        single = make_consts(
+            world=[WorldPreset(
+                name="w",
+                boxes=tuple(map(tuple, worlds[int(widx[lane])].tolist())),
+                arena=arena)],
+            image_hw=(16, 20), seed=5, n_records=4)
+        img = np.asarray(_depth_image(
+            single, out.state.x[lane][None], out.state.y[lane][None],
+            out.state.theta[lane][None], jnp.zeros(1, jnp.int32)))
+        np.testing.assert_array_equal(np.asarray(out.next_obs)[lane], img[0])
 
 
 def test_ensemble_vec_step_and_autoreset():
