@@ -224,41 +224,10 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
                 # where-gated so a 0.0 knob is bit-identical to clean obs
                 # (the draws still happen — their split count is fixed, so
                 # noise realizations are PAIRED across sweep points).
-                from dgvit_tpu.ops.preprocess import gaussian_blur
+                # Shared with training-time augmentation (envs/fault_aug).
+                from dgvit_tpu.envs.fault_aug import perturb_obs
 
-                noise, blur, occ, patch, grey = (knobs[i] for i in range(5))
-                key, k = jax.random.split(key)
-                obs = jnp.where(
-                    noise > 0.0,
-                    jnp.clip(obs + noise * jax.random.normal(k, obs.shape),
-                             0.0, 1.0), obs)
-                obs = jnp.where(blur > 0.0,
-                                (1.0 - blur) * obs
-                                + blur * gaussian_blur(obs, 5), obs)
-                key, k = jax.random.split(key)
-                obs = jnp.where(
-                    occ > 0.0,
-                    obs * (jax.random.uniform(k, obs.shape) >= occ), obs)
-                # one random rectangle of `patch` area fraction per lane
-                # (contiguous-region dropout, superpixel_occlusion analog)
-                key, k = jax.random.split(key)
-                ih, iw = obs.shape[-2], obs.shape[-1]
-                side = jnp.sqrt(jnp.maximum(patch, 0.0))
-                ph, pw = side * ih, side * iw
-                ky, kx = jax.random.split(k)
-                y0 = jax.random.uniform(ky, (b,)) * (ih - ph)
-                x0 = jax.random.uniform(kx, (b,)) * (iw - pw)
-                yy = jax.lax.broadcasted_iota(jnp.float32, (ih, iw), 0)
-                xx = jax.lax.broadcasted_iota(jnp.float32, (ih, iw), 1)
-                ex = (1,) * (obs.ndim - 3)  # broadcast over frame-stack dim
-                y0 = y0.reshape((b,) + ex)[..., None, None]
-                x0 = x0.reshape((b,) + ex)[..., None, None]
-                keep = ~((yy >= y0) & (yy < y0 + ph)
-                         & (xx >= x0) & (xx < x0 + pw))
-                obs = jnp.where(patch > 0.0, obs * keep, obs)
-                obs = jnp.where(grey > 0.0,
-                                obs * (1.0 - grey) + 0.5 * grey, obs)
-                return obs
+                return perturb_obs(obs, key, knobs)
             if obs_noise > 0.0:
                 key, k = jax.random.split(key)
                 obs = jnp.clip(obs + obs_noise * jax.random.normal(
@@ -304,17 +273,15 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
             body, init, jnp.arange(e.max_steps))
         return succ, coll, dur, bad
 
+    from dgvit_tpu.envs.fault_aug import KNOB_KEYS as knob_keys
+    from dgvit_tpu.envs.fault_aug import knobs_array
+
     rng = jax.random.PRNGKey(cfg.train.seed)
-    knob_keys = ("obs_noise", "blur", "occlusion", "patch_occlusion",
-                 "greying")
     points = sweep if dyn else [
         {"obs_noise": obs_noise, "occlusion": occlusion, "greying": greying}]
     reports = []
     for pt in points:
-        unknown = set(pt) - set(knob_keys)
-        assert not unknown, f"unknown sweep knobs: {sorted(unknown)}"
-        knobs = jnp.asarray([float(pt.get(k, 0.0)) for k in knob_keys],
-                            jnp.float32)
+        knobs = knobs_array(pt)
         succ, coll, dur, bad = run(actor_params, rng, knobs)
         succ, coll, dur, bad = (np.asarray(succ), np.asarray(coll),
                                 np.asarray(dur), np.asarray(bad))

@@ -151,7 +151,8 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
                      stride: Optional[int] = None,
                      prioritized: bool = False, beta: float = 0.4,
                      frame_stack: int = 0,
-                     guided: bool = False):
+                     guided: bool = False,
+                     fault_knobs=None, aug_prob: float = 1.0):
     """Build `run(state, env_carry, ring, rng, rounds, per=None,
     expert=None)`: R rounds of [collect chunk -> ring write -> U updates]
     as ONE jitted dispatch. Returns (state, env_carry, ring, stats) with
@@ -172,6 +173,11 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
     ~430 MB of obs) ballooned the remote TPU compile indefinitely
     (observed round 3: the guided program never finished compiling).
 
+    `fault_knobs`/`aug_prob` forward to make_collect_fn's sensor-fault
+    augmentation (envs/fault_aug.py): collection acts on and stores
+    perturbed frames, training the robustness the round-4 sweeps showed
+    domain randomization alone cannot buy (structural dropout).
+
     With a `grad_axis` agent the round is shard_map-ready (`raw=True` skips
     the jit so parallel.shard.shardmap_fused_round can wrap it): n_envs /
     batch_size / ring capacity are then PER-DEVICE, traj-derived stats are
@@ -184,7 +190,8 @@ def make_fused_round(agent: SACAgent, consts: EnvConsts, n_envs: int,
 
     collect = make_collect_fn(agent, consts, chunk, l_scale, a_scale,
                               max_action=max_action, stride=stride,
-                              frame_stack=frame_stack)
+                              frame_stack=frame_stack,
+                              fault_knobs=fault_knobs, aug_prob=aug_prob)
 
     def round_body(carry, _, expert=None):
         state, env_carry, ring, per, rng = carry
@@ -325,7 +332,9 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 max_episodes: Optional[int] = None,
                 resume: bool = False,
                 expert_glob: Optional[str] = None,
-                ring_snapshot_every: int = 20) -> dict:
+                ring_snapshot_every: int = 20,
+                fault_knobs: Optional[dict] = None,
+                aug_prob: float = 1.0) -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
@@ -415,7 +424,11 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                            l_scale=e.linear_cmd_scale,
                            a_scale=e.angular_cmd_scale,
                            max_action=e.max_action, prioritized=prioritized,
-                           frame_stack=fs, guided=expert is not None)
+                           frame_stack=fs, guided=expert is not None,
+                           fault_knobs=fault_knobs, aug_prob=aug_prob)
+    if fault_knobs:
+        print(f"[train_fused] sensor-fault augmentation: {fault_knobs} "
+              f"(prob {aug_prob})", flush=True)
     env_carry = vec_reset(consts, n_envs)
     if fs:
         from dgvit_tpu.train.vec_rollout import stack_init
@@ -532,7 +545,22 @@ def main(argv=None):
                         "checkpointed segments for warm-buffer --resume "
                         "(0 = cold-buffer resume; the snapshot is ~1.3 GB "
                         "at cap 8192 @ 128x160)")
+    p.add_argument("--aug", action="append", default=None,
+                   metavar="KNOB=VALUE",
+                   help="sensor-fault augmentation knob (repeatable), e.g. "
+                        "--aug patch_occlusion=0.25 --aug obs_noise=0.196; "
+                        "knobs: obs_noise blur occlusion patch_occlusion "
+                        "greying (envs/fault_aug.py)")
+    p.add_argument("--aug-prob", type=float, default=1.0,
+                   help="per-lane per-step probability of applying the "
+                        "--aug knobs (Bernoulli gate; 1.0 = every frame)")
     args = p.parse_args(argv)
+    fault_knobs = None
+    if args.aug:
+        fault_knobs = {}
+        for kv in args.aug:
+            k, _, v = kv.partition("=")
+            fault_knobs[k.strip()] = float(v)
     cfg = Config.from_yaml(args.config) if args.config else Config()
     out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,
                       chunk=args.chunk, rounds=args.rounds,
@@ -541,7 +569,8 @@ def main(argv=None):
                       ring_capacity=args.ring_capacity, world=args.world,
                       max_episodes=args.max_episodes, resume=args.resume,
                       expert_glob=args.expert_glob,
-                      ring_snapshot_every=args.ring_snapshot_every)
+                      ring_snapshot_every=args.ring_snapshot_every,
+                      fault_knobs=fault_knobs, aug_prob=args.aug_prob)
     print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
           f"episodes: {out['episodes']}  goals: {out['goals']}  "
           f"collisions: {out['collisions']}  updates: {out['updates']}")

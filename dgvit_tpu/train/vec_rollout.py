@@ -58,7 +58,9 @@ def stack_push(stack: jax.Array, frame: jax.Array) -> jax.Array:
 def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
                     l_scale: float, a_scale: float, max_action: float = 1.0,
                     evaluate: bool = False, stride: Optional[int] = None,
-                    frame_stack: int = 0):
+                    frame_stack: int = 0,
+                    fault_knobs: Optional[Dict[str, float]] = None,
+                    aug_prob: float = 1.0):
     """Pure (actor_params, carry, rng) -> (carry', traj) rollout scan —
     jitted directly by VecCollector, or wrapped in shard_map with lanes over
     the `data` axis (parallel.shard.shardmap_collect). With a
@@ -69,13 +71,46 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
     `frame_stack` > 0 carries a (B, C, H, W) frame stack for channels-mode
     actors (the Imitation_learning.py:118-121 patch embed): transitions
     store STACKED obs/next_obs like the host loop (train_rl.FrameStacker);
-    a lane reset re-fills its stack with the fresh episode's first frame."""
+    a lane reset re-fills its stack with the fresh episode's first frame.
+
+    `fault_knobs`: sensor-fault AUGMENTATION (envs/fault_aug.py — the
+    reference's five-fault family as in-graph transforms). The policy acts
+    on perturbed frames and the perturbed frames are what gets STORED —
+    a faulty sensor perturbs the observation channel itself, so the critic
+    must learn from it too. `next_obs` draws an independent realization
+    (the fault process is IID per frame, so the distribution is exact even
+    though it won't bit-match the next step's actor view). The env
+    dynamics (laser collision, reward) always see the true world — these
+    are SENSOR faults, not world faults. `aug_prob` < 1 gates the whole
+    knob set per lane per step (Bernoulli), mixing clean frames in.
+    None/empty knobs compile to the exact unaugmented program."""
+    if fault_knobs:
+        from dgvit_tpu.envs.fault_aug import knobs_array, perturb_obs
+        knobs = knobs_array(fault_knobs)
+
+        def _aug(o, key):
+            k_gate, k_pert = jax.random.split(key)
+            pert = perturb_obs(o, k_pert, knobs)
+            if aug_prob >= 1.0:
+                return pert
+            gate = jax.random.uniform(k_gate, (o.shape[0],)) < aug_prob
+            return jnp.where(gate.reshape((-1,) + (1,) * (o.ndim - 1)),
+                             pert, o)
+    else:
+        _aug = None
 
     def _collect(actor_params, carry, rng):
         def body(c, t):
             state, obs, goal = c
             key = jax.random.fold_in(rng, t)
-            a = agent._act_impl(actor_params, key, obs, goal[:, :2],
+            if _aug is not None:
+                key, k_a = jax.random.split(key)
+                obs_in = _aug(obs, k_a)  # actor input AND the stored obs;
+                #                          the carry stays CLEAN (faults
+                #                          are IID per step, not sticky)
+            else:
+                obs_in = obs
+            a = agent._act_impl(actor_params, key, obs_in, goal[:, :2],
                                 evaluate, False)
             a = jnp.clip(a, -max_action, max_action)
             a_in = jnp.stack([(a[:, 0] + 1.0) * l_scale,
@@ -90,8 +125,11 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
                                       next_obs)
             else:
                 next_obs, carry_obs = out.next_obs, out.obs
+            if _aug is not None:
+                key, k_n = jax.random.split(key)
+                next_obs = _aug(next_obs, k_n)  # independent draw (IID)
             trans = {
-                "obs": obs, "act": a, "pobs": goal[:, :2],
+                "obs": obs_in, "act": a, "pobs": goal[:, :2],
                 "next_pobs": out.next_to_goal[:, :2],
                 "rew": out.reward, "next_obs": next_obs,
                 "done": out.done.astype(jnp.float32),

@@ -57,6 +57,12 @@ def main(argv=None):
                         "alpha_max). The unclamped reference auto-tune "
                         "diverged on the 2400-episode hospital protocol "
                         "(alpha 10.3, deterministic eval 0/100; BENCH.md)")
+    p.add_argument("--aug", action="append", default=None,
+                   metavar="KNOB=VALUE",
+                   help="fused-path sensor-fault augmentation knob "
+                        "(repeatable; envs/fault_aug.py), e.g. "
+                        "--aug patch_occlusion=0.25")
+    p.add_argument("--aug-prob", type=float, default=1.0)
     p.add_argument("--host-eval", action="store_true",
                    help="final eval via the per-step host loop instead of "
                         "the single-dispatch vectorized eval (run_eval_vec; "
@@ -87,6 +93,11 @@ def main(argv=None):
     if args.alpha_max is not None:
         cfg.sac.alpha_max = args.alpha_max
 
+    fault_knobs = None
+    if args.aug:
+        fault_knobs = {k.strip(): float(v) for k, _, v in
+                       (kv.partition("=") for kv in args.aug)}
+
     t0 = time.time()
     if args.fused:
         from dgvit_tpu.train.fused_train import train_fused
@@ -98,7 +109,8 @@ def main(argv=None):
             cfg, out_dir=args.out, n_envs=args.n_envs, chunk=args.chunk,
             rounds=10 ** 6, rounds_per_dispatch=5,
             max_episodes=args.episodes, resume=args.resume,
-            world=args.world)
+            world=args.world, fault_knobs=fault_knobs,
+            aug_prob=args.aug_prob)
         train_wall = time.time() - t0
         res = {"successes": res_f["goals"], "episodes": res_f["episodes"],
                "max_mean_reward": float("nan"), "state": res_f["state"]}
@@ -134,6 +146,8 @@ def main(argv=None):
         "world": args.world,
         "eval_world": eval_world,
         "alpha_max": args.alpha_max,
+        "aug": fault_knobs,
+        "aug_prob": args.aug_prob if fault_knobs else None,
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],
         "max_mean_reward": (None if args.fused
