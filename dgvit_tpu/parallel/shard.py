@@ -197,7 +197,8 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
                          batch_size: int, ring_capacity: int,
                          l_scale: float, a_scale: float,
                          max_action: float = 1.0,
-                         prioritized: bool = False, guided: bool = False):
+                         prioritized: bool = False, guided: bool = False,
+                         fault_knobs=None, aug_prob: float = 1.0):
     """The ENTIRE fused training loop (train/fused_train.py: collect ->
     replay ring -> SAC updates) under the device mesh — distributed RL with
     zero host involvement per round.
@@ -218,6 +219,10 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
     psums already inside _guided_core. (A runtime argument, not a closure
     capture — a closed-over corpus is baked into the HLO as a ~430 MB
     literal that stalls the remote compile; see make_fused_round.)
+
+    `fault_knobs`/`aug_prob` forward to the collect's sensor-fault
+    augmentation (envs/fault_aug.py) — each device perturbs its own lanes'
+    frames independently, composing DR-with-faults training with the mesh.
 
     Returns (run, init): run(state, env_carry, ring, rng, rounds_arr
     [, per][, expert]) — one jitted dispatch for R rounds; init() ->
@@ -241,7 +246,8 @@ def shardmap_fused_round(agent: SACAgent, runtime: MeshRuntime, consts,
         agent, consts, n_envs // n_data, chunk,
         updates_per_round, batch_size // n_data,
         l_scale, a_scale, max_action=max_action, raw=True, stride=n_envs,
-        prioritized=prioritized, guided=guided)
+        prioritized=prioritized, guided=guided,
+        fault_knobs=fault_knobs, aug_prob=aug_prob)
 
     repl, laneP = P(), P(AXIS_DATA)
     carry_spec = (VecState(*([laneP] * len(VecState._fields))), laneP, laneP)
