@@ -27,6 +27,13 @@ Replicated reference semantics (each a deliberate decision, SURVEY.md §7):
     in every learn forward pass; train_step matches. choose_action defaults
     to no-dropout (sane inference); `dropout_in_inference=True` replicates
     the reference exactly.
+  * opt-in deviations behind flags (default off = reference semantics):
+    `sac.alpha_max` / `sac.alpha_min` clamp the auto-tuned temperature —
+    both failure directions were MEASURED (alpha 10.3 on the 2400-ep
+    hospital run, BENCH.md round 3; alpha 0.003 with inf critics on the
+    per-reset-DR arm, round 4); the reference auto-tune (DRL.py:417-424)
+    has no clamp either way. `sac.critic_latent_reuse` trades the
+    reference's update ordering for one fewer trunk pass.
 """
 
 from __future__ import annotations
@@ -117,6 +124,8 @@ class SACAgent:
         self.fixed_alpha = float(s.alpha)
         am = getattr(s, "alpha_max", None)
         self.alpha_max = None if am is None else float(am)
+        an = getattr(s, "alpha_min", None)
+        self.alpha_min = None if an is None else float(an)
         self.done_mask = bool(s.done_mask_in_target)
         self.nan_guard = bool(getattr(s, "nan_guard", False))
         # perf opt-in (non-parity, config.py sac.critic_latent_reuse): actor
@@ -471,6 +480,14 @@ class SACAgent:
             # deterministic eval 0/100)
             new_log_alpha = jnp.minimum(
                 new_log_alpha, jnp.log(jnp.asarray(self.alpha_max,
+                                                   jnp.float32)))
+        if self.alpha_min is not None:
+            # opt-in floor (cfg.sac.alpha_min) — the symmetric failure:
+            # alpha collapse (0.003 on the per-reset-DR arm, BENCH.md
+            # round 4) removes the entropy regularizer from the Q-targets
+            # mid-training and the critics diverge to inf
+            new_log_alpha = jnp.maximum(
+                new_log_alpha, jnp.log(jnp.asarray(self.alpha_min,
                                                    jnp.float32)))
         return state.replace(log_alpha=new_log_alpha, alpha_opt=new_opt), \
             alpha_loss

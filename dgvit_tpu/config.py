@@ -149,6 +149,14 @@ class SACConfig:
     # training still reached goals. alpha_max clamps exp(log_alpha) after
     # every alpha update on all three update flavors.
     alpha_max: Optional[float] = None
+    # Entropy-temperature FLOOR, the symmetric opt-in (default off =
+    # reference semantics). Measured failure it addresses (BENCH.md round
+    # 4: per-reset domain randomization): auto-tune drove alpha down to
+    # 0.003 mid-run, the policy went near-deterministic on half-learned
+    # behavior, Q-targets lost their entropy regularizer and diverged to
+    # inf (drr_rand8: training stalled at 50 goals / 800 eps). alpha_min
+    # clamps exp(log_alpha) from below after every alpha update.
+    alpha_min: Optional[float] = None
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0
@@ -161,6 +169,14 @@ class SACConfig:
             assert self.alpha <= self.alpha_max, (
                 "alpha_max only clamps the auto-tuned temperature; with "
                 "auto_tune_alpha=False set alpha <= alpha_max directly")
+        assert self.alpha_min is None or self.alpha_min > 0.0
+        if self.alpha_min is not None:
+            if self.alpha_max is not None:
+                assert self.alpha_min <= self.alpha_max
+            if not self.auto_tune_alpha:
+                assert self.alpha >= self.alpha_min, (
+                    "alpha_min only clamps the auto-tuned temperature; with "
+                    "auto_tune_alpha=False set alpha >= alpha_min directly")
         # log_alpha is initialized to log(alpha) (agents/sac.py init_state);
         # alpha <= 0 would seed the train state with -inf/NaN
         assert self.alpha > 0.0, (

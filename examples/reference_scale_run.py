@@ -52,6 +52,10 @@ def main(argv=None):
                         "--world; set e.g. --world rand8 --eval-world "
                         "hospital for the domain-randomization transfer "
                         "protocol)")
+    p.add_argument("--alpha-min", type=float, default=None,
+                   help="opt-in entropy-temperature floor (sac.alpha_min): "
+                        "guards against the measured alpha collapse on the "
+                        "per-reset-DR arm (BENCH.md round 4)")
     p.add_argument("--alpha-max", type=float, default=None,
                    help="opt-in entropy-temperature ceiling (cfg.sac."
                         "alpha_max). The unclamped reference auto-tune "
@@ -92,6 +96,8 @@ def main(argv=None):
     cfg.train.desc = "ref_scale_per"
     if args.alpha_max is not None:
         cfg.sac.alpha_max = args.alpha_max
+    if args.alpha_min is not None:
+        cfg.sac.alpha_min = args.alpha_min
 
     fault_knobs = None
     if args.aug:
@@ -146,6 +152,7 @@ def main(argv=None):
         "world": args.world,
         "eval_world": eval_world,
         "alpha_max": args.alpha_max,
+        "alpha_min": args.alpha_min,
         "aug": fault_knobs,
         "aug_prob": args.aug_prob if fault_knobs else None,
         "train_episodes": res["episodes"],

@@ -473,3 +473,54 @@ def test_alpha_max_inactive_below_ceiling():
     s1, _ = base.learn(base.init_state(0), b1)
     s2, _ = capped.learn(capped.init_state(0), b2)
     assert float(s1.log_alpha) == float(s2.log_alpha)
+
+
+def test_alpha_min_floor_clamps_all_flavors():
+    """Opt-in entropy-temperature FLOOR (cfg.sac.alpha_min): log_alpha
+    never drops below log(alpha_min) after any update flavor. Motivated by
+    the measured per-reset-DR collapse (alpha -> 0.003, critics -> inf,
+    training stalled at 50/800 goals; BENCH.md round 4). Default (None)
+    keeps the reference's unclamped auto-tune."""
+    floor = 0.5
+    # alpha starts BELOW the floor: the first update must lift it up
+    ag = SACAgent(tiny_cfg(alpha=0.01, alpha_min=floor))
+    state = ag.init_state(0)
+    state, _ = ag.learn(state, make_batch(jax.random.PRNGKey(21)))
+    assert float(jnp.exp(state.log_alpha)) >= floor - 1e-6
+
+    agp = SACAgent(tiny_cfg(alpha=0.01, alpha_min=floor,
+                            prioritized_replay=True))
+    sp = agp.init_state(0)
+    sp, _m, _td = agp.learn_per(sp, make_batch(jax.random.PRNGKey(22)),
+                                jnp.ones((B,)))
+    assert float(jnp.exp(sp.log_alpha)) >= floor - 1e-6
+
+    agg = SACAgent(tiny_cfg(alpha=0.01, alpha_min=floor))
+    sg = agg.init_state(0)
+    sg, _ = agg.learn_guidence(sg, make_batch(jax.random.PRNGKey(23)),
+                               make_batch(jax.random.PRNGKey(24)),
+                               n_expert=B)
+    assert float(jnp.exp(sg.log_alpha)) >= floor - 1e-6
+
+
+def test_alpha_min_inactive_above_floor():
+    """With alpha far above the floor, the clamp is a no-op: one step with
+    and without alpha_min produces the SAME log_alpha; floor + ceiling
+    compose (band clamp)."""
+    base = SACAgent(tiny_cfg())
+    floored = SACAgent(tiny_cfg(alpha_min=1e-6))
+    b1 = make_batch(jax.random.PRNGKey(25))
+    b2 = make_batch(jax.random.PRNGKey(25))
+    s1, _ = base.learn(base.init_state(0), b1)
+    s2, _ = floored.learn(floored.init_state(0), b2)
+    assert float(s1.log_alpha) == float(s2.log_alpha)
+
+    banded = SACAgent(tiny_cfg(alpha_min=0.3, alpha_max=0.6))
+    sb = banded.init_state(0)
+    sb, _ = banded.learn(sb, make_batch(jax.random.PRNGKey(26)))
+    a = float(jnp.exp(sb.log_alpha))
+    assert 0.3 - 1e-6 <= a <= 0.6 + 1e-6
+
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        tiny_cfg(alpha_min=0.7, alpha_max=0.5)
