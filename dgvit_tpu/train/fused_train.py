@@ -559,7 +559,9 @@ def main(argv=None):
     if args.aug:
         fault_knobs = {}
         for kv in args.aug:
-            k, _, v = kv.partition("=")
+            k, sep, v = kv.partition("=")
+            if not sep or not v:
+                p.error(f"--aug expects KNOB=VALUE, got {kv!r}")
             fault_knobs[k.strip()] = float(v)
     cfg = Config.from_yaml(args.config) if args.config else Config()
     out = train_fused(cfg, out_dir=args.out, n_envs=args.n_envs,

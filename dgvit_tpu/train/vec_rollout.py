@@ -77,18 +77,30 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
     reference's five-fault family as in-graph transforms). The policy acts
     on perturbed frames and the perturbed frames are what gets STORED —
     a faulty sensor perturbs the observation channel itself, so the critic
-    must learn from it too. `next_obs` draws an independent realization
-    (the fault process is IID per frame, so the distribution is exact even
-    though it won't bit-match the next step's actor view). The env
+    must learn from it too. `next_obs` draws an independent realization:
+    for single-frame obs the fault process is IID per frame so the
+    distribution is exact (it won't bit-match the next step's actor view);
+    for frame STACKS the stored obs/next_obs re-perturb their shared
+    history frames independently — a documented approximation (a physical
+    occluder would persist across the overlap), acceptable for IID-noise
+    training, revisit if stack-consistent faults ever matter. The env
     dynamics (laser collision, reward) always see the true world — these
     are SENSOR faults, not world faults. `aug_prob` < 1 gates the whole
     knob set per lane per step (Bernoulli), mixing clean frames in.
+    Under shard_map the aug key folds in the device's axis index (like
+    sac._shard_key), so each device draws its own fault realizations.
     None/empty knobs compile to the exact unaugmented program."""
     if fault_knobs:
         from dgvit_tpu.envs.fault_aug import knobs_array, perturb_obs
         knobs = knobs_array(fault_knobs)
 
         def _aug(o, key):
+            if agent.grad_axis is not None:
+                # decorrelate across shards: the rng arriving here is
+                # replicated over the mesh (round_body splits it
+                # identically on every device)
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(agent.grad_axis) + 1)
             k_gate, k_pert = jax.random.split(key)
             pert = perturb_obs(o, k_pert, knobs)
             if aug_prob >= 1.0:
@@ -104,7 +116,11 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
             state, obs, goal = c
             key = jax.random.fold_in(rng, t)
             if _aug is not None:
-                key, k_a = jax.random.split(key)
+                # derive both fault keys from the PRE-act key with distinct
+                # folds: re-splitting the key after _act_impl consumed it
+                # would collide with the actor's internal dropout split
+                k_a = jax.random.fold_in(key, 101)
+                k_n = jax.random.fold_in(key, 102)
                 obs_in = _aug(obs, k_a)  # actor input AND the stored obs;
                 #                          the carry stays CLEAN (faults
                 #                          are IID per step, not sticky)
@@ -126,7 +142,6 @@ def make_collect_fn(agent: SACAgent, consts: EnvConsts, chunk: int,
             else:
                 next_obs, carry_obs = out.next_obs, out.obs
             if _aug is not None:
-                key, k_n = jax.random.split(key)
                 next_obs = _aug(next_obs, k_n)  # independent draw (IID)
             trans = {
                 "obs": obs_in, "act": a, "pobs": goal[:, :2],

@@ -101,8 +101,15 @@ def main(argv=None):
 
     fault_knobs = None
     if args.aug:
-        fault_knobs = {k.strip(): float(v) for k, _, v in
-                       (kv.partition("=") for kv in args.aug)}
+        if not args.fused:
+            p.error("--aug is a fused-path feature (make_collect_fn); "
+                    "pass --fused or drop the augmentation flags")
+        fault_knobs = {}
+        for kv in args.aug:
+            k, sep, v = kv.partition("=")
+            if not sep or not v:
+                p.error(f"--aug expects KNOB=VALUE, got {kv!r}")
+            fault_knobs[k.strip()] = float(v)
 
     t0 = time.time()
     if args.fused:

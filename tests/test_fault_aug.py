@@ -149,3 +149,40 @@ def test_fused_cli_parses_aug(tmp_path):
         "--ring-capacity", "32",
         "--aug", "patch_occlusion=0.25", "--aug", "obs_noise=0.1",
         "--aug-prob", "0.5"])
+
+
+def test_sharded_aug_decorrelates_across_devices():
+    """Under shard_map the aug key folds in the device's axis index: each
+    device must draw its OWN patch rectangles. Regression for the review
+    finding that the replicated rng gave every device bit-identical fault
+    realizations (the mesh rng arrives replicated; round_body splits it
+    identically per device)."""
+    import pytest
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dgvit_tpu.agents.sac import SACAgent
+    from dgvit_tpu.core.mesh import MeshRuntime
+    from dgvit_tpu.envs.jax_kinematic import make_consts
+    from dgvit_tpu.parallel.shard import shardmap_fused_round
+
+    cfg = _tiny_cfg()
+    agent = SACAgent(cfg, grad_axis="data")
+    consts = make_consts(world="rrc", image_hw=(32, 40), max_steps=8)
+    cap_per = 16
+    run, init = shardmap_fused_round(
+        agent, MeshRuntime.create(data=8), consts, n_envs=8, chunk=6,
+        updates_per_round=1, batch_size=8, ring_capacity=cap_per * 8,
+        l_scale=0.25, a_scale=1.0,
+        fault_knobs={"patch_occlusion": 0.25})
+    state = agent.init_state(0)
+    env_carry, ring = init((32, 40))
+    state, env_carry, ring, stats = run(
+        state, env_carry, ring, jax.random.PRNGKey(0), jnp.arange(1))
+    obs = np.asarray(ring.obs)          # (8*cap_per, 32, 40), shard-major
+    # same written row index on different shards -> different rectangle.
+    # Depth frames are strictly positive (cam_near/cam_far floor), so
+    # exact zeros ARE the patch.
+    masks = [(obs[d * cap_per] == 0) for d in range(8)]
+    assert all(m.any() for m in masks)  # every device did perturb
+    distinct = {m.tobytes() for m in masks}
+    assert len(distinct) > 1, "all devices drew the same patch rectangle"
