@@ -68,6 +68,13 @@ class EnvConsts(NamedTuple):
     min_range: float
     dt: float
     max_steps: int
+    # world-ensemble lane assignment (trace-time constant): "reset" = the
+    # standard DR formulation, a lane's world rehashes from its episode
+    # record index at every auto-reset (_world_of); "lane" = lane i pinned
+    # to world i % K for the whole run — the measured-BETTER training
+    # recipe at the 800-episode budget (BENCH.md round 4 stage D: per-reset
+    # switching collapsed SAC's temperature auto-tune), kept selectable.
+    world_assign: str = "reset"
 
 
 class VecState(NamedTuple):
@@ -109,7 +116,8 @@ def _records_table(recs) -> np.ndarray:
 
 def make_consts(world=None, records: Optional[Sequence[dict]] = None,
                 image_hw=(128, 160), max_steps: int = 800, seed: int = 0,
-                min_range: float = 0.2, n_records: int = 32) -> EnvConsts:
+                min_range: float = 0.2, n_records: int = 32,
+                world_assign: str = "reset") -> EnvConsts:
     """Build EnvConsts mirroring KinematicNavEnv's constructor defaults
     (kinematic.py:176-198) so the two envs are interchangeable.
 
@@ -157,7 +165,7 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
             laser_rays=e.LASER_RAYS, laser_fov=e.LASER_FOV,
             laser_max=e.LASER_MAX, cam_fov=e.CAM_FOV, cam_near=e.CAM_CLIP[0],
             cam_far=e.CAM_CLIP[1], min_range=float(min_range), dt=e.DT,
-            max_steps=int(max_steps))
+            max_steps=int(max_steps), world_assign=world_assign)
     if isinstance(world, str) or world is None:
         world = get_world(world or "rrc")
     assert isinstance(world, WorldPreset)
@@ -178,16 +186,29 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
 
 def _world_of(c: EnvConsts, rec_idx: jax.Array) -> Optional[jax.Array]:
     """Per-lane world index for the episode identified by rec_idx, or None
-    for single-world consts. Knuth multiplicative hash (odd constant, a
-    bijection mod 2^32) so the world RESAMPLES at every auto-reset
-    (rec_idx strides by the lane count) for ANY (n_envs, K) pair —
-    `rec_idx % K` alone is constant per lane whenever K divides n_envs,
-    and the pre-round-4 static `lane % K` map never exposed worlds beyond
+    for single-world consts.
+
+    world_assign="reset" (default): Knuth multiplicative hash (odd
+    constant, a bijection mod 2^32) so the world RESAMPLES at every
+    auto-reset (rec_idx strides by the lane count) for ANY (n_envs, K)
+    pair — `rec_idx % K` alone is constant per lane whenever K divides
+    n_envs, and a static `lane % K` map never exposes worlds beyond
     n_envs at all. Deterministic in rec_idx: replays are exact, sharded
-    and unsharded lane streams agree."""
+    and unsharded lane streams agree.
+
+    world_assign="lane": lane i pinned to world i % K for the whole run —
+    each lane masters one world, the fleet covers the ensemble. The
+    measured-better TRAINING recipe at the 800-episode budget (BENCH.md
+    round 4 stage D: per-reset task switching collapsed the temperature
+    auto-tune). Caveats it trades away: K > n_envs leaves worlds unvisited
+    (the dr_rand32 regression), and under a sharded collect lane indices
+    are LOCAL, so each device covers the ensemble independently."""
     k = c.world.boxes.shape[0] if c.world.boxes.ndim == 3 else 0
     if not k:
         return None
+    if c.world_assign == "lane":
+        return jnp.arange(rec_idx.shape[0], dtype=jnp.int32) % k
+    assert c.world_assign == "reset", c.world_assign
     h = rec_idx.astype(jnp.uint32) * jnp.uint32(2654435761)
     h = h ^ (h >> jnp.uint32(16))   # fold high bits down: a bare odd-mult
     #                                 preserves low-bit parity, so power-of-2

@@ -334,7 +334,8 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 expert_glob: Optional[str] = None,
                 ring_snapshot_every: int = 20,
                 fault_knobs: Optional[dict] = None,
-                aug_prob: float = 1.0) -> dict:
+                aug_prob: float = 1.0,
+                world_assign: str = "reset") -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
@@ -383,7 +384,8 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
         state = agent.load(state, f, d or ".", actor_only=True)
 
     consts = make_consts(world=world or "rrc", image_hw=(ih, iw),
-                         max_steps=e.max_steps, seed=t.seed)
+                         max_steps=e.max_steps, seed=t.seed,
+                         world_assign=world_assign)
     upr = (n_envs * chunk) if updates_per_round is None else updates_per_round
     cap = ring_capacity or min(s.buffer_size, 8192)
     prioritized = bool(s.prioritized_replay)
@@ -554,6 +556,13 @@ def main(argv=None):
     p.add_argument("--aug-prob", type=float, default=1.0,
                    help="per-lane per-step probability of applying the "
                         "--aug knobs (Bernoulli gate; 1.0 = every frame)")
+    p.add_argument("--world-assign", choices=("reset", "lane"),
+                   default="reset",
+                   help="world-ensemble lane assignment: 'reset' rehashes "
+                        "each lane's world every episode (standard DR); "
+                        "'lane' pins lane i to world i %% K (the "
+                        "measured-better training recipe at the 800-ep "
+                        "budget, BENCH.md round 4)")
     args = p.parse_args(argv)
     fault_knobs = None
     if args.aug:
@@ -572,7 +581,8 @@ def main(argv=None):
                       max_episodes=args.max_episodes, resume=args.resume,
                       expert_glob=args.expert_glob,
                       ring_snapshot_every=args.ring_snapshot_every,
-                      fault_knobs=fault_knobs, aug_prob=args.aug_prob)
+                      fault_knobs=fault_knobs, aug_prob=args.aug_prob,
+                      world_assign=args.world_assign)
     print(f"rounds: {out['rounds']}  env steps: {out['env_steps']}  "
           f"episodes: {out['episodes']}  goals: {out['goals']}  "
           f"collisions: {out['collisions']}  updates: {out['updates']}")

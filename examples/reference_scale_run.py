@@ -67,6 +67,12 @@ def main(argv=None):
                         "(repeatable; envs/fault_aug.py), e.g. "
                         "--aug patch_occlusion=0.25")
     p.add_argument("--aug-prob", type=float, default=1.0)
+    p.add_argument("--world-assign", choices=("reset", "lane"),
+                   default="reset",
+                   help="ensemble lane assignment (fused path): 'reset' = "
+                        "per-episode rehash (standard DR), 'lane' = lane-"
+                        "pinned (measured better at this budget, BENCH.md "
+                        "round 4 stage D)")
     p.add_argument("--host-eval", action="store_true",
                    help="final eval via the per-step host loop instead of "
                         "the single-dispatch vectorized eval (run_eval_vec; "
@@ -123,7 +129,7 @@ def main(argv=None):
             rounds=10 ** 6, rounds_per_dispatch=5,
             max_episodes=args.episodes, resume=args.resume,
             world=args.world, fault_knobs=fault_knobs,
-            aug_prob=args.aug_prob)
+            aug_prob=args.aug_prob, world_assign=args.world_assign)
         train_wall = time.time() - t0
         res = {"successes": res_f["goals"], "episodes": res_f["episodes"],
                "max_mean_reward": float("nan"), "state": res_f["state"]}
@@ -161,6 +167,7 @@ def main(argv=None):
         "alpha_max": args.alpha_max,
         "alpha_min": args.alpha_min,
         "aug": fault_knobs,
+        "world_assign": args.world_assign,
         "aug_prob": args.aug_prob if fault_knobs else None,
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],

@@ -194,3 +194,30 @@ def test_single_world_path_unchanged():
     with pytest.raises(AssertionError, match="share an arena"):
         make_consts(world=[random_world(1),
                            random_world(2, arena=(-9, 9, -9, 9))])
+
+
+def test_lane_pinned_assignment_option():
+    """world_assign='lane' pins lane i to world i % K for the whole run —
+    the measured-better training recipe (BENCH.md round 4 stage D), kept
+    selectable alongside the default per-reset rehash."""
+    c = make_consts(world="rand3", image_hw=(16, 20), seed=1,
+                    world_assign="lane")
+    # any rec_idx values: assignment depends only on lane position
+    w1 = np.asarray(_world_of(c, jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32)))
+    w2 = np.asarray(_world_of(c, jnp.asarray([7, 70, 700, 1, 2, 3],
+                                             jnp.int32)))
+    np.testing.assert_array_equal(w1, [0, 1, 2, 0, 1, 2])
+    np.testing.assert_array_equal(w1, w2)
+    # flows through the fused trainer
+    from dgvit_tpu.train.fused_train import train_fused
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 4},
+        "train": {"pre_buffer": False, "pre_train": False, "save": False},
+    })
+    out = train_fused(cfg, out_dir="/tmp/mw_lane", n_envs=4, chunk=6,
+                      rounds=1, rounds_per_dispatch=1, updates_per_round=1,
+                      ring_capacity=64, world="rand2", world_assign="lane")
+    assert out["rounds"] == 1
