@@ -175,3 +175,41 @@ def test_teleop_loop_drives_env_and_quits():
     steps = teleop_loop(env, KeyboardTeleop(), max_steps=3,
                         key_source=lambda: "w", log=lambda s: None)
     assert steps == 3
+
+
+def test_robustness_compare_tool(tmp_path, capsys):
+    """tools/robustness_compare.py merges sweep.jsonl files into the
+    fault x policy matrix (reproduces BENCH.md round-4 tables)."""
+    import json as _json
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    import robustness_compare as rc
+
+    a = tmp_path / "a.jsonl"
+    rows_a = [
+        {"world": "rrc", "success_rate": 1.0, "collisions": 0,
+         "obs_noise": 0.0, "blur": 0.0, "occlusion": 0.0,
+         "patch_occlusion": 0.0, "greying": 0.0},
+        {"world": "rrc", "success_rate": 0.5, "collisions": 50,
+         "obs_noise": 0.196, "blur": 0.0, "occlusion": 0.0,
+         "patch_occlusion": 0.0, "greying": 0.0},
+    ]
+    a.write_text("\n".join(_json.dumps(r) for r in rows_a))
+    b = tmp_path / "b.jsonl"
+    rows_b = [dict(rows_a[0], success_rate=0.6, collisions=40),
+              {"world": "rrc", "success_rate": 0.55, "collisions": 45,
+               "obs_noise": 0.0, "blur": 0.0, "occlusion": 0.0,
+               "patch_occlusion": 0.25, "greying": 0.0}]
+    b.write_text("\n".join(_json.dumps(r) for r in rows_b))
+
+    out_md = tmp_path / "cmp.md"
+    rc.main([f"one={a}", f"two={b}", "--world", "rrc",
+             "--out", str(out_md)])
+    txt = out_md.read_text()
+    lines = txt.strip().splitlines()
+    assert lines[0] == "| fault | one, rrc | two, rrc |"
+    assert "| clean | 100% (0) | 60% (40) |" in txt
+    assert "| obs_noise=0.196 | 50% (50) | — |" in txt
+    assert "| patch_occlusion=0.25 | — | 55% (45) |" in txt
+    # clean row sorts first
+    assert lines[2].startswith("| clean")
