@@ -335,7 +335,8 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 ring_snapshot_every: int = 20,
                 fault_knobs: Optional[dict] = None,
                 aug_prob: float = 1.0,
-                world_assign: str = "reset") -> dict:
+                world_assign: str = "reset",
+                dead_segments_abort: int = 8) -> dict:
     """Host wrapper: run `rounds` fused rounds in segments of
     `rounds_per_dispatch`, logging per-round stats and checkpointing between
     segments. updates_per_round defaults to one update per collected env
@@ -448,6 +449,9 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
     ckpt_dir = os.path.join(out_dir, t.checkpoint_dir)
     ring_path = os.path.join(ckpt_dir, "ring_latest.npz")
     done_rounds = goals = collisions = episodes = 0
+    dead_segments = 0   # consecutive segments whose every round's last
+    #                     update was nan_guard-skipped (dead-run detector)
+    aborted_dead = False
     if resume:
         latest = ckpt.latest_checkpoint(ckpt_dir)
         if latest is not None:
@@ -511,13 +515,34 @@ def train_fused(cfg: Config, out_dir: str = "results", n_envs: int = 16,
                 ring_save(ring, ring_path)
         if max_episodes is not None and episodes >= max_episodes:
             break
+        # dead-run detector: once training diverges, nan_guard freezes the
+        # state (every update rolls back) and further rounds only burn
+        # chip time — the round-4 drr_rand8 collapse ran 120+ dead rounds
+        # before its episode budget ended. If EVERY round in a segment
+        # reports its last update skipped for `dead_segments_abort`
+        # consecutive segments, stop with a clear verdict.
+        skipped = host.get("skipped_nonfinite")
+        if (dead_segments_abort and skipped is not None
+                and skipped.size and (skipped >= 1.0).all()):
+            dead_segments += 1
+            if dead_segments >= dead_segments_abort:
+                aborted_dead = True
+                print(f"[train_fused] DEAD RUN: every round's last update "
+                      f"was nan_guard-skipped for {dead_segments} "
+                      f"consecutive segments ({dead_segments * seg} "
+                      f"rounds) — state is frozen post-divergence; "
+                      f"aborting at round {done_rounds}", flush=True)
+                break
+        else:
+            dead_segments = 0
     if t.save and ring_snapshot_every:
         # final snapshot so an immediately-following --resume is warm even
         # when the run ended between cadence points
         ring_save(ring, ring_path)
     return {"rounds": done_rounds, "env_steps": done_rounds * n_envs * chunk,
             "goals": goals, "collisions": collisions, "episodes": episodes,
-            "updates": int(state.itera), "state": state}
+            "updates": int(state.itera), "state": state,
+            "aborted_dead": aborted_dead}
 
 
 def main(argv=None):

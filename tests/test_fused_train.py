@@ -303,3 +303,26 @@ def test_train_fused_end_to_end(tmp_path):
     assert out["updates"] >= 6
     assert list(tmp_path.glob("train_fused_*.jsonl"))
     assert list((tmp_path / "checkpoints").glob("step_*"))
+
+
+def test_dead_run_detector_aborts(tmp_path):
+    """Once nan_guard freezes a diverged state, the fused host loop stops
+    instead of burning the whole round budget (the round-4 drr_rand8
+    collapse ran 120+ dead rounds). lr=1e12 diverges immediately: params
+    blow up on update 1, every later update is nonfinite and rolls back."""
+    from dgvit_tpu.config import Config
+    from dgvit_tpu.train.fused_train import train_fused
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128, "nan_guard": True,
+                "lr_critic": 1e12, "lr_actor": 1e12},
+        "env": {"max_steps": 8},
+        "train": {"pre_buffer": False, "pre_train": False, "save": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=4, chunk=8,
+                      rounds=40, rounds_per_dispatch=2, updates_per_round=2,
+                      ring_capacity=64, dead_segments_abort=2)
+    assert out["aborted_dead"] is True
+    assert out["rounds"] < 40      # stopped well short of the budget
