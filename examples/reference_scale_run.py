@@ -132,7 +132,8 @@ def main(argv=None):
             aug_prob=args.aug_prob, world_assign=args.world_assign)
         train_wall = time.time() - t0
         res = {"successes": res_f["goals"], "episodes": res_f["episodes"],
-               "max_mean_reward": float("nan"), "state": res_f["state"]}
+               "max_mean_reward": float("nan"), "state": res_f["state"],
+               "aborted_dead": res_f.get("aborted_dead", False)}
         print(f"fused train done: {res_f['goals']} goals / "
               f"{res_f['episodes']} episodes / {res_f['env_steps']} steps / "
               f"{res_f['updates']} updates in {train_wall / 3600:.2f} h",
@@ -168,6 +169,7 @@ def main(argv=None):
         "alpha_min": args.alpha_min,
         "aug": fault_knobs,
         "world_assign": args.world_assign,
+        "aborted_dead": res.get("aborted_dead", False),
         "aug_prob": args.aug_prob if fault_knobs else None,
         "train_episodes": res["episodes"],
         "train_successes": res["successes"],
