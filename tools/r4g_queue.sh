@@ -6,8 +6,11 @@
 # survives it. Hypothesis: feeding the faults into collection
 # (make_collect_fn(fault_knobs=...), envs/fault_aug.py) buys dropout
 # robustness without demos.
-#   Arm: from-scratch fused PER, 800 eps, rand8 ensemble (per-reset
-#   resampling), alpha_max=2.0, aug = patch 0.25 + noise 0.196 @ prob 0.5.
+#   Arm: from-scratch fused PER, 800 eps, rand8 ensemble with the
+#   LANE-PINNED assignment (--world-assign lane — same recipe as the
+#   dr_rand8 baseline it must be compared to; the per-reset default
+#   diverged, BENCH round 4 stage D, and would confound the aug variable),
+#   alpha_max=2.0, aug = patch 0.25 + noise 0.196 @ prob 0.5.
 #   Then: zero-shot evals on hospital + rrc, full robustness sweep on both.
 # Launch: nohup bash tools/r4g_queue.sh >> results/r4g_queue.log 2>&1 &
 #         echo $! > /tmp/r4g_queue.pid
@@ -27,7 +30,7 @@ fi
 
 run_stage results/aug_rand8/summary.json 10800 \
   python -u examples/reference_scale_run.py \
-    --episodes 800 --fused --resume --world rand8 \
+    --episodes 800 --fused --resume --world rand8 --world-assign lane \
     --eval-world hospital --alpha-max 2.0 \
     --aug patch_occlusion=0.25 --aug obs_noise=0.196 --aug-prob 0.5 \
     --out results/aug_rand8
