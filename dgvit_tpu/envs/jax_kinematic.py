@@ -122,11 +122,14 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
     (kinematic.py:176-198) so the two envs are interchangeable.
 
     World ENSEMBLES (domain randomization — BENCH.md round 4: transfer is
-    world-diversity bound): pass `world="rand<K>"` (K procedurally-random
-    layouts, worlds.random_world, seeded from `seed`) or an explicit
-    list/tuple of WorldPresets sharing one arena. Boxes become (K, nb, 4)
-    and per-world record tables (K, n_rec, 5); box counts pad with
-    far-away degenerate boxes (beyond max range, so they never hit).
+    world-diversity bound): pass a `rand<K>` / `randh<K>` / `randm<K>`
+    spec (K procedurally-random layouts — RRC-sized, hospital-sized, or
+    mixed-scale; worlds.random_ensemble, seeded from `seed`) or an
+    explicit list/tuple of WorldPresets. Boxes become (K, nb, 4) and
+    per-world record tables (K, n_rec, 5); box counts pad with far-away
+    degenerate boxes (beyond max range, so they never hit); arenas may
+    differ per member (the table becomes (K, 4) and lane walls follow the
+    lane's world).
 
     Lane->world assignment RESAMPLES EVERY RESET: a lane's world is a
     multiplicative hash of its episode record index (`_world_of`), so the
@@ -138,15 +141,17 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
     rec_idx globally, shardmap_collect) sees the same world stream as an
     unsharded run."""
     if isinstance(world, str) and world.startswith("rand"):
-        from dgvit_tpu.envs.worlds import random_world
-        k = int(world[4:] or "8")
-        world = [random_world(1000 * seed + i) for i in range(k)]
+        from dgvit_tpu.envs.worlds import random_ensemble
+        world = random_ensemble(world, seed=seed)
     if isinstance(world, (list, tuple)):
         assert records is None, "per-world records are generated; " \
                                 "explicit records need a single world"
-        arenas = {w.arena for w in world}
-        assert len(arenas) == 1, f"ensemble worlds must share an arena: " \
-                                 f"{arenas}"
+        # arenas may differ per member (randm<K> mixed-scale ensembles):
+        # a (K, 4) arena table makes lane walls follow the lane's world
+        arenas = [tuple(map(float, w.arena)) for w in world]
+        arena_arr = (jnp.asarray(arenas[0], jnp.float32)
+                     if len(set(arenas)) == 1
+                     else jnp.asarray(arenas, jnp.float32))   # (4,) | (K, 4)
         nb = max(len(w.boxes) for w in world)
         far = (1e4, 1e4, 1e4, 1e4)  # beyond every max range: never hits
         boxes = np.asarray(
@@ -158,8 +163,7 @@ def make_consts(world=None, records: Optional[Sequence[dict]] = None,
             for i, w in enumerate(world)])                  # (K, n_rec, 5)
         e = KinematicNavEnv
         return EnvConsts(
-            world=JaxWorld(boxes=jnp.asarray(boxes),
-                           arena=jnp.asarray(world[0].arena, jnp.float32)),
+            world=JaxWorld(boxes=jnp.asarray(boxes), arena=arena_arr),
             records=jnp.asarray(tables),
             image_h=int(image_hw[0]), image_w=int(image_hw[1]),
             laser_rays=e.LASER_RAYS, laser_fov=e.LASER_FOV,
@@ -259,8 +263,16 @@ def ray_distances(px: jax.Array, py: jax.Array, bearings: jax.Array,
     d_boxes = jnp.where(hit, jnp.where(tmin >= 0, tmin, inf), inf)
     best = jnp.minimum(jnp.min(d_boxes, axis=-1), max_range)
 
-    ax0, ax1, ay0, ay1 = (world.arena[0], world.arena[1],
-                          world.arena[2], world.arena[3])
+    ar = world.arena
+    if ar.ndim == 2:
+        # mixed-scale ensemble (randm<K>): lane walls follow the lane's
+        # world, same gather as the box table above
+        assert world.boxes.ndim == 3, "per-world arenas need ensemble boxes"
+        ar = ar[lane_world]                     # (B, 4)
+        bounds = [ar[:, j][:, None, None] for j in range(4)]
+    else:
+        bounds = [ar[j] for j in range(4)]
+    ax0, ax1, ay0, ay1 = bounds
     for bound, p, inv in ((ax0, px, inv_dx), (ax1, px, inv_dx),
                           (ay0, py, inv_dy), (ay1, py, inv_dy)):
         t = ((bound - p) * inv)[..., 0]

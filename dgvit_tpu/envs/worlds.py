@@ -90,6 +90,42 @@ def random_world(seed: int, n_boxes: int = 8,
                        arena=arena)
 
 
+def random_ensemble(spec: str, seed: int = 0):
+    """Parse a procedural-ensemble spec into K WorldPresets (the vectorized
+    env's domain-randomization input, jax_kinematic.make_consts):
+
+      rand<K>   — K layouts in the RRC-sized arena (the round-4 baseline).
+      randh<K>  — K layouts in the HOSPITAL-sized arena (24x19 m): more,
+                  larger boxes at comparable fill so long-range behavior
+                  gets gradients.
+      randm<K>  — mixed SCALES: even members RRC-sized, odd members
+                  hospital-sized. Motivated by the measured drr_rand32
+                  asymmetry (82% zero-shot RRC / 0% hospital, BENCH.md
+                  round 4): same-scale diversity buys within-class
+                  transfer only; cross-scale transfer needs arena-scale
+                  diversity in training.
+
+    Deterministic in (spec, seed); member i draws from seed 1000*seed+i,
+    so rand<K> members are unchanged from the pre-randm behavior."""
+    for prefix, variants in (("randm", "m"), ("randh", "h"), ("rand", "")):
+        if spec.startswith(prefix):
+            k = int(spec[len(prefix):] or "8")
+            break
+    else:
+        raise ValueError(f"not a rand spec: {spec!r}")
+
+    def member(i):
+        s = 1000 * seed + i
+        big = variants == "h" or (variants == "m" and i % 2 == 1)
+        if big:
+            return random_world(s, n_boxes=20, arena=HOSPITAL.arena,
+                                size_range=(0.8, 3.6),
+                                name=f"{spec}_{i}")
+        return random_world(s, name=f"{spec}_{i}" if variants else None)
+
+    return [member(i) for i in range(k)]
+
+
 def get_world(name: str) -> WorldPreset:
     try:
         return _PRESETS[name]

@@ -191,9 +191,11 @@ def test_single_world_path_unchanged():
     path (trajectory parity vs KinematicNavEnv rides on it)."""
     c1 = make_consts(world="rrc", image_hw=(16, 20), seed=0)
     assert c1.world.boxes.ndim == 2 and c1.records.ndim == 2
-    with pytest.raises(AssertionError, match="share an arena"):
-        make_consts(world=[random_world(1),
-                           random_world(2, arena=(-9, 9, -9, 9))])
+    # mixed-arena explicit lists build a (K, 4) arena table (randm support)
+    cm = make_consts(world=[random_world(1),
+                            random_world(2, arena=(-9, 9, -9, 9))],
+                     image_hw=(16, 20))
+    assert cm.world.arena.shape == (2, 4)
 
 
 def test_lane_pinned_assignment_option():
@@ -221,3 +223,60 @@ def test_lane_pinned_assignment_option():
                       rounds=1, rounds_per_dispatch=1, updates_per_round=1,
                       ring_capacity=64, world="rand2", world_assign="lane")
     assert out["rounds"] == 1
+
+
+def test_random_ensemble_specs():
+    from dgvit_tpu.envs.worlds import HOSPITAL, RRC, random_ensemble
+
+    r = random_ensemble("rand3", seed=7)
+    assert len(r) == 3 and all(w.arena == RRC.arena for w in r)
+    # plain rand members are byte-compatible with the pre-randm behavior
+    from dgvit_tpu.envs.worlds import random_world
+    assert r[1].boxes == random_world(1000 * 7 + 1).boxes
+
+    h = random_ensemble("randh2", seed=0)
+    assert all(w.arena == HOSPITAL.arena for w in h)
+    assert all(len(w.boxes) == 20 for w in h)
+
+    m = random_ensemble("randm4", seed=0)
+    assert [w.arena == HOSPITAL.arena for w in m] == [False, True] * 2
+
+    import pytest
+    with pytest.raises(ValueError, match="not a rand spec"):
+        random_ensemble("nope8")
+
+
+def test_mixed_scale_ensemble_per_lane_arenas():
+    """randm<K>: the arena table goes (K, 4) and each lane raycasts against
+    ITS world's walls — a pose outside the small arena but inside the big
+    one must see walls only in the small-arena lane."""
+    c = make_consts(world="randm2", image_hw=(16, 20), seed=0)
+    assert c.world.arena.ndim == 2 and c.world.arena.shape == (2, 4)
+    from dgvit_tpu.envs.jax_kinematic import _laser
+
+    # same pose, lane 0 (RRC-sized world) vs lane 1 (hospital-sized):
+    # beyond the RRC wall at x=5.5 the hospital lane still has ~6.5 m of
+    # clearance to ITS wall at x=12
+    x = jnp.asarray([4.5, 4.5], jnp.float32)
+    y = jnp.asarray([0.0, 0.0], jnp.float32)
+    th = jnp.zeros(2, jnp.float32)  # facing +x
+    d = np.asarray(_laser(c, x, y, th, jnp.asarray([0, 1], jnp.int32)))
+    mid = d.shape[1] // 2           # the forward ray
+    assert d[0, mid] < 1.5          # RRC wall ~1.0 m ahead (or a box)
+    assert d[1, mid] > d[0, mid]    # hospital lane sees farther
+
+
+def test_mixed_scale_ensemble_trains(tmp_path):
+    from dgvit_tpu.train.fused_train import train_fused
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4, "buffer_size": 128},
+        "env": {"max_steps": 4},
+        "train": {"pre_buffer": False, "pre_train": False, "save": False},
+    })
+    out = train_fused(cfg, out_dir=str(tmp_path), n_envs=4, chunk=6,
+                      rounds=2, rounds_per_dispatch=2, updates_per_round=1,
+                      ring_capacity=64, world="randm4")
+    assert out["rounds"] == 2
