@@ -379,7 +379,12 @@ def main(argv=None):
     p.add_argument("--world", default="rrc",
                    help="kinematic world preset (rrc | hospital) — "
                         "'hospital' is the unseen-layout generalization "
-                        "eval (reference README.md:43-51, hospital.world)")
+                        "eval (reference README.md:43-51, hospital.world). "
+                        "With --vec-eval, rand<K>/randh<K>/randm<K> specs "
+                        "run each episode in a hashed procedural layout — "
+                        "a held-out-ENSEMBLE generalization metric (the "
+                        "eval seed differs from training, so the layouts "
+                        "are never-seen)")
     p.add_argument("--device-rollout", action="store_true",
                    help="run each episode as one jitted io_callback scan "
                         "(policy + action scaling on device; env on host)")

@@ -280,3 +280,26 @@ def test_mixed_scale_ensemble_trains(tmp_path):
                       rounds=2, rounds_per_dispatch=2, updates_per_round=1,
                       ring_capacity=64, world="randm4")
     assert out["rounds"] == 2
+
+
+def test_eval_on_heldout_procedural_ensemble(tmp_path):
+    """run_eval_vec over a rand<K>/randm<K> world: each episode-lane runs
+    in its hashed ensemble member — seeding the eval differently from
+    training gives a held-out PROCEDURAL generalization metric (100
+    never-seen layouts in one dispatch)."""
+    from dgvit_tpu.agents.sac import SACAgent
+    from dgvit_tpu.train.evaluate import run_eval_vec
+
+    cfg = Config.from_dict({
+        "model": {"block": 1, "head": 2, "latent_size": 32, "mlp_dim": 64,
+                  "image_size": (32, 40), "patch_size": (16, 20)},
+        "sac": {"batch_size": 4},
+        "env": {"max_steps": 10},
+        "train": {"seed": 7},
+    })
+    agent = SACAgent(cfg)
+    state = agent.init_state(0)
+    for world in ("rand8", "randm4"):
+        rep = run_eval_vec(cfg, state.actor_params, max_episodes=8,
+                           world=world, out_dir=str(tmp_path), name="ens")
+        assert 0.0 <= rep["success_rate"] <= 1.0
