@@ -419,9 +419,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
-    env = KinematicNavEnv(seed=cfg.train.seed,
-                          image_hw=tuple(cfg.model.image_size),
-                          world=args.world)
+    # the host env only serves the host-loop path (run_eval); --vec-eval /
+    # --fleet build their own worlds, and rand<K>/randh<K>/randm<K>
+    # procedural-ensemble specs exist ONLY there — constructing the host
+    # env eagerly would reject them (get_world knows presets, not specs)
+    env = (None if (args.vec_eval or args.fleet) else
+           KinematicNavEnv(seed=cfg.train.seed,
+                           image_hw=tuple(cfg.model.image_size),
+                           world=args.world))
     if args.checkpoint:
         from dgvit_tpu.agents.sac import SACAgent
         path = args.checkpoint

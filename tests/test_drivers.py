@@ -371,6 +371,16 @@ def test_evaluate_cli_from_train_state_checkpoint(tmp_path):
                    "--episodes", "2", "--out", str(out_v), "--vec-eval"])
     assert (out_v / "testing_data.txt").exists()
 
+    # held-out procedural-ensemble specs (rand<K>/randh<K>/randm<K>) exist
+    # only on the vectorized path; main must not build the host env for
+    # them (get_world knows presets, not specs — regression: the eager
+    # host-env construction rejected every --vec-eval rand spec)
+    out_h = tmp_path / "eval_heldout"
+    evaluate.main(["--checkpoint", str(ckpt_dir), "--config", str(cfg_yaml),
+                   "--episodes", "2", "--out", str(out_h), "--vec-eval",
+                   "--world", "randm2"])
+    assert (out_h / "testing_data.txt").exists()
+
 
 def test_save_replay_warm_buffer_resume(tmp_path):
     """cfg.train.save_replay: periodic checkpoints snapshot the replay
