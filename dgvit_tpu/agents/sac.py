@@ -128,6 +128,9 @@ class SACAgent:
         self.alpha_min = None if an is None else float(an)
         self.done_mask = bool(s.done_mask_in_target)
         self.nan_guard = bool(getattr(s, "nan_guard", False))
+        # update-time DrQ-v2 random-shift augmentation (ops/augment.py) —
+        # opt-in extension, the reference trains on raw replayed frames
+        self.aug_shift = int(getattr(s, "aug_shift", 0))
         # perf opt-in (non-parity, config.py sac.critic_latent_reuse): actor
         # loss reuses the critic-update's trunk latent + PRE-update params
         # instead of re-running the GoT trunk on the updated critic
@@ -520,10 +523,43 @@ class SACAgent:
         metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return state, metrics
 
+    def _augment(self, batch, key, expert_batch=None):
+        """Opt-in DrQ-v2 random-shift augmentation of the replayed frames
+        (sac.aug_shift pixels; 0 = reference behavior, bit-identical — the
+        extra keys below are fold_ins off the step key, so existing RNG
+        streams never move). obs and next_obs shift independently per
+        sample (DrQ-v2); expert frames augment too (the RAD/DrQ-BC
+        convention — the BC regression sees the same view statistics as
+        the RL losses). Under a sharded step the shard index folds in so
+        lanes draw decorrelated offsets; that stream deliberately differs
+        from the single-device one (augmentation is a regularizer, not a
+        parity path — same stance as dropout under sharding)."""
+        if not self.aug_shift:
+            return batch if expert_batch is None else (batch, expert_batch)
+        from dgvit_tpu.ops.augment import random_shift
+
+        if self.grad_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(self.grad_axis))
+
+        def shift(d, tag):
+            d = dict(d)
+            d["obs"] = random_shift(
+                d["obs"], jax.random.fold_in(key, tag), self.aug_shift)
+            d["next_obs"] = random_shift(
+                d["next_obs"], jax.random.fold_in(key, tag + 1),
+                self.aug_shift)
+            return d
+
+        batch = shift(batch, 101)
+        if expert_batch is None:
+            return batch
+        return batch, shift(expert_batch, 103)
+
     def _train_step_impl(self, state: SACTrainState, batch
                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
+        batch = self._augment(batch, key)
         k_tgt, k_crit, k_act = jax.random.split(key, 3)
         alpha = self._alpha_of(state)
 
@@ -564,6 +600,7 @@ class SACAgent:
         for priority updates."""
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
+        batch = self._augment(batch, key)
         k_tgt, k_crit, k_act = jax.random.split(key, 3)
         alpha = self._alpha_of(state)
         target = self._td_target(state, alpha, batch, k_tgt)
@@ -650,6 +687,7 @@ class SACAgent:
         the PER path can update priorities."""
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
+        batch, expert_batch = self._augment(batch, key, expert_batch)
         k_tgt, k_crit, k_act, k_g, k_e = jax.random.split(key, 5)
         alpha = self._alpha_of(state)
 

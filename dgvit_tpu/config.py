@@ -157,9 +157,17 @@ class SACConfig:
     # inf (drr_rand8: training stalled at 50 goals / 800 eps). alpha_min
     # clamps exp(log_alpha) from below after every alpha update.
     alpha_min: Optional[float] = None
+    # Update-time DrQ-v2 random-shift augmentation (ops/augment.py): every
+    # sampled obs/next_obs (and expert frames on the guided paths) is
+    # replicate-padded and re-cropped at a random per-sample offset of up
+    # to this many pixels before the losses see it — the standard
+    # regularizer for RL from pixels (Yarats et al. 2021; PAPERS.md ViT-RL
+    # survey). 0 (default) = reference behavior: raw replayed frames.
+    aug_shift: int = 0
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0
+        assert self.aug_shift >= 0
         assert 0.0 < self.gamma <= 1.0
         assert 0.0 < self.tau <= 1.0
         # the clamp lives in the auto-tune update; with auto-tune off alpha

@@ -67,6 +67,12 @@ def main(argv=None):
                         "(repeatable; envs/fault_aug.py), e.g. "
                         "--aug patch_occlusion=0.25")
     p.add_argument("--aug-prob", type=float, default=1.0)
+    p.add_argument("--aug-shift", type=int, default=0,
+                   help="update-time DrQ-v2 random-shift augmentation in "
+                        "pixels (sac.aug_shift, ops/augment.py): every "
+                        "sampled obs/next_obs is re-cropped at a random "
+                        "offset before the losses see it — the standard "
+                        "pixel-RL regularizer; 0 = reference behavior")
     p.add_argument("--world-assign", choices=("reset", "lane"),
                    default="reset",
                    help="ensemble lane assignment (fused path): 'reset' = "
@@ -104,6 +110,8 @@ def main(argv=None):
         cfg.sac.alpha_max = args.alpha_max
     if args.alpha_min is not None:
         cfg.sac.alpha_min = args.alpha_min
+    if args.aug_shift:
+        cfg.sac.aug_shift = args.aug_shift
 
     fault_knobs = None
     if args.aug:
@@ -167,6 +175,7 @@ def main(argv=None):
         "eval_world": eval_world,
         "alpha_max": args.alpha_max,
         "alpha_min": args.alpha_min,
+        "aug_shift": args.aug_shift,
         "aug": fault_knobs,
         "world_assign": args.world_assign,
         "aborted_dead": res.get("aborted_dead", False),
