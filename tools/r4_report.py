@@ -28,7 +28,9 @@ RECIPES = {
     "drr_rand32": "rand32, per-reset resample",
     "drr_rand8_amin": "rand8, per-reset + alpha_min=0.1 (queue H A/B)",
     "aug_rand8": "rand8, lane-pinned + fault aug patch=0.25/noise=0.196@p0.5",
+    "aug_rand8_amin": "fault aug (as aug_rand8) + alpha_min=0.1",
     "drq_rand8": "rand8, lane-pinned + DrQ shift=4 (sac.aug_shift)",
+    "drq_rand8_amin": "DrQ shift=4 + alpha_min=0.1",
     "dr_randh32": "randh32: 32 hospital-sized arenas, per-reset",
     "dr_randm32": "randm32: 16 RRC- + 16 hospital-sized, per-reset",
 }
