@@ -159,7 +159,7 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
                  world: str = "rrc", out_dir: str = "results",
                  name: str = "model", obs_noise: float = 0.0,
                  occlusion: float = 0.0, greying: float = 0.0,
-                 sweep=None):
+                 sweep=None, world_seed=None):
     """All eval episodes at once: lanes = episodes on the pure-JAX
     vectorized kinematic env (envs/jax_kinematic.py), the whole protocol ONE
     jitted scan dispatch (vs one dispatch per step in the host loop — on a
@@ -203,8 +203,19 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
           if cfg.model.patch_mode == "channels" else 0)
     e = cfg.env
     agent = SACAgent(cfg)
+    # held-out by default for procedural-ensemble specs: a rand<K> EVAL
+    # seeded with the training seed would re-draw the first K TRAINING
+    # layouts (worlds.random_ensemble member i <- 1000*seed+i), silently
+    # un-holding-out the metric. Evals on rand specs therefore derive a
+    # disjoint seed stream unless the caller pins `world_seed` (pass the
+    # training seed explicitly for a training-distribution eval).
+    seed = world_seed
+    if seed is None:
+        seed = cfg.train.seed
+        if isinstance(world, str) and world.startswith("rand"):
+            seed = cfg.train.seed + 1_000_003
     consts = make_consts(world=world, image_hw=tuple(cfg.model.image_size),
-                         max_steps=e.max_steps, seed=cfg.train.seed)
+                         max_steps=e.max_steps, seed=seed)
     dt = float(consts.dt)
 
     dyn = sweep is not None
@@ -297,6 +308,7 @@ def run_eval_vec(cfg: Config, actor_params, max_episodes: int = 100,
                                   if v))
         rep = _report(cfg, _C(), cntr2, total_rel, durations, out_dir, tag)
         rep.update({k: float(pt.get(k, 0.0)) for k in knob_keys})
+        rep["world"], rep["world_seed"] = world, int(seed)
         reports.append(rep)
     return reports if dyn else reports[0]
 
@@ -402,6 +414,13 @@ def main(argv=None):
                    help="run ALL episodes at once as lanes of the pure-JAX "
                         "vectorized kinematic env — the whole protocol is "
                         "one device dispatch (envs/jax_kinematic.py)")
+    p.add_argument("--world-seed", type=int, default=None,
+                   help="pin the world/record-table seed for --vec-eval. "
+                        "Default: the config seed — EXCEPT for procedural "
+                        "rand<K> specs, which derive a disjoint eval "
+                        "stream so the ensemble is genuinely held-out "
+                        "(pass the training seed explicitly to evaluate "
+                        "on the training distribution)")
     p.add_argument("--obs-noise", type=float, default=0.0,
                    help="robustness study (vec-eval only): N(0, sigma) "
                         "sensor noise on the [0,1] scale (env_lab add_nose "
@@ -458,7 +477,8 @@ def main(argv=None):
     elif args.vec_eval:
         out = run_eval_vec(cfg, params, args.episodes, args.world,
                            args.out, name, obs_noise=args.obs_noise,
-                           occlusion=args.occlusion, greying=args.greying)
+                           occlusion=args.occlusion, greying=args.greying,
+                           world_seed=args.world_seed)
     else:
         out = run_eval(cfg, env, params, args.episodes, args.out, name,
                        device_rollout_loop=args.device_rollout)

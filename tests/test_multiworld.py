@@ -303,3 +303,12 @@ def test_eval_on_heldout_procedural_ensemble(tmp_path):
         rep = run_eval_vec(cfg, state.actor_params, max_episodes=8,
                            world=world, out_dir=str(tmp_path), name="ens")
         assert 0.0 <= rep["success_rate"] <= 1.0
+        # held-out BY DEFAULT: a rand-spec eval must NOT reuse the training
+        # seed (member i <- 1000*seed+i would re-draw the training worlds)
+        assert rep["world_seed"] != cfg.train.seed
+        # pinning world_seed back to the training seed is the explicit
+        # training-distribution eval
+        rep_t = run_eval_vec(cfg, state.actor_params, max_episodes=8,
+                             world=world, out_dir=str(tmp_path), name="ens",
+                             world_seed=cfg.train.seed)
+        assert rep_t["world_seed"] == cfg.train.seed
