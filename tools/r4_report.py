@@ -132,12 +132,16 @@ def main(argv=None):
             f"| {fmt(r['rrc'])} | {fmt(r['hospital'])} "
             f"| {fmt(r['rand100'])} | {fmt(r['randm100'])} "
             f"| {fmt(r['patch_rrc'])} | {fmt(r['patch_hosp'])} |")
-    # reference rows: the non-DR flagship recipes, for scale
+    # reference rows: the non-DR flagship recipes, for scale (held-out
+    # columns fill in once tools/r4n_heldout_flagships.sh has run)
     lines += [
-        "| rrc specialist (r3) | RRC only, from scratch | 734/804 | "
-        "100% (seen) | 0% | — | — | 0% | — |",
-        "| gw10 generalist (r3) | BC warm start + gw=10 guided, RRC arena "
-        "| — | 62-78% | 48-69% | — | — | 71% | 69% |",
+        f"| rrc specialist (r3) | RRC only, from scratch | 734/804 | "
+        f"100% (seen) | 0% | {fmt(read_eval_log(d, 'flag_spec', 'rand100'))} "
+        f"| {fmt(read_eval_log(d, 'flag_spec', 'randm100'))} | 0% | — |",
+        f"| gw10 generalist (r3) | BC warm start + gw=10 guided, RRC arena "
+        f"| — | 62-78% | 48-69% "
+        f"| {fmt(read_eval_log(d, 'flag_gw10', 'rand100'))} "
+        f"| {fmt(read_eval_log(d, 'flag_gw10', 'randm100'))} | 71% | 69% |",
     ]
     text = "\n".join(lines) + "\n"
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
