@@ -42,18 +42,27 @@ def read_summary(d: Path, arm: str):
 
 
 def read_eval_log(d: Path, arm: str, world: str):
-    """'success rate: 47.0% (47 goals), collisions: 53' -> (0.47, 53)."""
+    """'success rate: 47.0% (47 goals), collisions: 53' -> (0.47, 53).
+
+    Falls back to a `_cpu25` provisional log (25 episodes on CPU, taken
+    while the chip was busy training) — those render with a * marker."""
     p = d / f"{arm}_{world}_eval.log"
     if not p.exists():
         # queue scripts before r4l named the rrc eval '<arm>_rrc_eval.log'
         p = d / f"{arm}_rrc_eval.log" if world == "rrc" else p
+    provisional = False
+    if not p.exists():
+        p = d / f"{arm}_{world}_eval_cpu25.log"
+        provisional = True
     if not p.exists():
         return None
     m = None
     for line in p.read_text().splitlines():
         m = re.search(r"success rate:\s*([\d.]+)%.*collisions:\s*(\d+)",
                       line) or m
-    return (float(m.group(1)) / 100.0, int(m.group(2))) if m else None
+    if not m:
+        return None
+    return (float(m.group(1)) / 100.0, int(m.group(2)), provisional)
 
 
 def read_robustness_point(d: Path, arm: str, world: str, **knobs):
@@ -78,7 +87,8 @@ def fmt(v, pct=True):
     if v is None:
         return "—"
     if isinstance(v, tuple):
-        return f"{v[0] * 100:.0f}%"
+        star = "\\*" if len(v) > 2 and v[2] else ""
+        return f"{v[0] * 100:.0f}%{star}"
     return f"{v * 100:.0f}%" if pct else str(v)
 
 
@@ -119,7 +129,8 @@ def main(argv=None):
         "are held-out PROCEDURAL ensembles (eval seed differs from",
         "training, every layout never-seen). patch=0.25 is the",
         "structural-dropout robustness point (one random rectangle over",
-        "25% of the frame).",
+        "25% of the frame). \\* = provisional: 25 episodes on CPU, taken",
+        "while the chip was training (chip re-run pending).",
         "",
         "| arm | recipe | train goals | RRC | hospital | rand100 "
         "| randm100 | patch.25 RRC | patch.25 hosp |",
