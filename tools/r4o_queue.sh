@@ -30,6 +30,7 @@ mkdir -p results artifacts/r4
 
 eval_stage() {  # arm world extra-args...
   local arm=$1 world=$2; shift 2
+  mkdir -p results/${arm}
   run_stage results/${arm}/${world}_eval.done 3600 \
     bash -c "set -o pipefail; python -u -m dgvit_tpu.train.evaluate \
       --checkpoint results/${arm}/checkpoints --vec-eval \
@@ -72,6 +73,7 @@ arm_block() {  # arm train-args...
 for ARM in gw10:artifacts/r3/gen_fused/gw10_winner_actor.npz \
            spec:artifacts/r3/ref_scale_800ep_actor.npz; do
   NAME=${ARM%%:*}; NPZ=${ARM#*:}
+  mkdir -p results/flag_${NAME}
   for EW in rand100 randm100; do
     run_stage results/flag_${NAME}/${EW}_eval.done 1800 \
       bash -c "set -o pipefail; python -u -m dgvit_tpu.train.evaluate \
