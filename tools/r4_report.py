@@ -27,6 +27,7 @@ RECIPES = {
     "drr_rand8": "rand8, per-reset resample (collapsed: alpha 0.003)",
     "drr_rand32": "rand32, per-reset resample",
     "drr_rand8_amin": "rand8, per-reset + alpha_min=0.1 (queue H A/B)",
+    "drr_rand8_aminb": "rand8, per-reset + alpha_min=0.1 (chip-grade re-run)",
     "aug_rand8": "rand8, lane-pinned + fault aug patch=0.25/noise=0.196@p0.5",
     "aug_rand8_amin": "fault aug (as aug_rand8) + alpha_min=0.1",
     "drq_rand8": "rand8, lane-pinned + DrQ shift=4 (sac.aug_shift)",
