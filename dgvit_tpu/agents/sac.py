@@ -131,10 +131,21 @@ class SACAgent:
         # update-time DrQ-v2 random-shift augmentation (ops/augment.py) —
         # opt-in extension, the reference trains on raw replayed frames
         self.aug_shift = int(getattr(s, "aug_shift", 0))
+        # DrQ-collapse diagnosis knobs (config.py): critic-only views
+        # (the actual DrQ-v2 routing) and a raw-frame warm-up window
+        self.aug_actor = bool(getattr(s, "aug_actor", True))
+        self.aug_warmup = int(getattr(s, "aug_warmup", 0))
         # perf opt-in (non-parity, config.py sac.critic_latent_reuse): actor
         # loss reuses the critic-update's trunk latent + PRE-update params
         # instead of re-running the GoT trunk on the updated critic
         self.latent_reuse = bool(getattr(s, "critic_latent_reuse", False))
+        if self.latent_reuse and self.aug_shift and not self.aug_actor:
+            # the reused latent was computed on SHIFTED frames; handing it
+            # to an actor step that must see raw frames would silently
+            # re-augment the actor's Q — refuse the combination instead
+            raise ValueError("critic_latent_reuse is incompatible with "
+                             "aug_actor=False (the stashed critic latent "
+                             "is an augmented view)")
         if self.latent_reuse:
             from dgvit_tpu.models.policies import GoTQNetwork
             if not isinstance(self.critic, GoTQNetwork):
@@ -523,7 +534,7 @@ class SACAgent:
         metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return state, metrics
 
-    def _augment(self, batch, key, expert_batch=None):
+    def _augment(self, batch, key, expert_batch=None, itera=None):
         """Opt-in DrQ-v2 random-shift augmentation of the replayed frames
         (sac.aug_shift pixels; 0 = reference behavior, bit-identical — the
         extra keys below are fold_ins off the step key, so existing RNG
@@ -533,21 +544,29 @@ class SACAgent:
         the RL losses). Under a sharded step the shard index folds in so
         lanes draw decorrelated offsets; that stream deliberately differs
         from the single-device one (augmentation is a regularizer, not a
-        parity path — same stance as dropout under sharding)."""
+        parity path — same stance as dropout under sharding).
+
+        `itera` (traced step counter) gates the sac.aug_warmup window: for
+        the first aug_warmup learn steps the raw frames pass through (the
+        where() keeps shapes static — one compiled program either way)."""
         if not self.aug_shift:
             return batch if expert_batch is None else (batch, expert_batch)
         from dgvit_tpu.ops.augment import random_shift
 
         if self.grad_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(self.grad_axis))
+        on = jnp.asarray(True)
+        if self.aug_warmup and itera is not None:
+            on = itera >= self.aug_warmup
 
         def shift(d, tag):
             d = dict(d)
-            d["obs"] = random_shift(
-                d["obs"], jax.random.fold_in(key, tag), self.aug_shift)
-            d["next_obs"] = random_shift(
+            d["obs"] = jnp.where(on, random_shift(
+                d["obs"], jax.random.fold_in(key, tag), self.aug_shift),
+                d["obs"])
+            d["next_obs"] = jnp.where(on, random_shift(
                 d["next_obs"], jax.random.fold_in(key, tag + 1),
-                self.aug_shift)
+                self.aug_shift), d["next_obs"])
             return d
 
         batch = shift(batch, 101)
@@ -559,7 +578,12 @@ class SACAgent:
                          ) -> Tuple[SACTrainState, Dict[str, jax.Array]]:
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
-        batch = self._augment(batch, key)
+        clean = batch
+        batch = self._augment(batch, key, itera=state.itera)
+        # sac.aug_actor=False: the actor step (policy forward + its critic
+        # Q evaluation) sees raw frames; only TD target + critic regression
+        # see the shifted views (DrQ-v2 routing)
+        actor_batch = batch if self.aug_actor else clean
         k_tgt, k_crit, k_act = jax.random.split(key, 3)
         alpha = self._alpha_of(state)
 
@@ -569,13 +593,13 @@ class SACAgent:
             state, qf1_loss, qf2_loss, latent = self._critic_update(
                 state, batch, target, k_crit, return_latent=True)
             state, policy_loss, log_pi = self._actor_update(
-                state, alpha, batch, k_act, critic_latent=latent,
+                state, alpha, actor_batch, k_act, critic_latent=latent,
                 critic_heads_params=pre_critic)
         else:
             state, qf1_loss, qf2_loss = self._critic_update(state, batch,
                                                             target, k_crit)
-            state, policy_loss, log_pi = self._actor_update(state, alpha,
-                                                            batch, k_act)
+            state, policy_loss, log_pi = self._actor_update(
+                state, alpha, actor_batch, k_act)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {
@@ -600,7 +624,9 @@ class SACAgent:
         for priority updates."""
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
-        batch = self._augment(batch, key)
+        clean = batch
+        batch = self._augment(batch, key, itera=state.itera)
+        actor_batch = batch if self.aug_actor else clean
         k_tgt, k_crit, k_act = jax.random.split(key, 3)
         alpha = self._alpha_of(state)
         target = self._td_target(state, alpha, batch, k_tgt)
@@ -637,8 +663,8 @@ class SACAgent:
                 critic_latent=jax.lax.stop_gradient(latent),
                 critic_heads_params=pre_critic)
         else:
-            state, policy_loss, log_pi = self._actor_update(state, alpha,
-                                                            batch, k_act)
+            state, policy_loss, log_pi = self._actor_update(
+                state, alpha, actor_batch, k_act)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {"qf1_loss": qf1_loss, "qf2_loss": qf2_loss,
@@ -687,7 +713,16 @@ class SACAgent:
         the PER path can update priorities."""
         prev = state
         key = jax.random.fold_in(state.rng, state.itera)
-        batch, expert_batch = self._augment(batch, key, expert_batch)
+        clean, clean_expert = batch, expert_batch
+        batch, expert_batch = self._augment(batch, key, expert_batch,
+                                            itera=state.itera)
+        if not self.aug_actor:
+            # DrQ-v2 routing: the actor-side losses (policy objective,
+            # expert BC, engage BC) regress on raw frames; only the merged
+            # critic path below keeps the shifted views
+            actor_batch, actor_expert = clean, clean_expert
+        else:
+            actor_batch, actor_expert = batch, expert_batch
         k_tgt, k_crit, k_act, k_g, k_e = jax.random.split(key, 5)
         alpha = self._alpha_of(state)
 
@@ -758,9 +793,9 @@ class SACAgent:
 
         # expert BC loss on deterministic mean action (DRL.py:257-265)
         def guidence_loss(ap):
-            s = self._sample_actor(ap, expert_batch["obs"],
-                                   expert_batch["pobs"], k_g, dropout_key=None)
-            sq = jnp.square(s.mean - expert_batch["act"])
+            s = self._sample_actor(ap, actor_expert["obs"],
+                                   actor_expert["pobs"], k_g, dropout_key=None)
+            sq = jnp.square(s.mean - actor_expert["act"])
             denom = self._denom(jnp.sum(valid) * sq.shape[1], guard=1.0)
             mse = jnp.sum(valid.reshape(-1, 1) * sq) / denom
             has_expert = (n_expert > 0).astype(jnp.float32)
@@ -768,10 +803,10 @@ class SACAgent:
 
         # real-time intervention loss on engage==1 rows (DRL.py:267-276)
         def engage_loss(ap):
-            eng = batch["engage"].reshape(-1).astype(jnp.float32)
-            s = self._sample_actor(ap, batch["obs"], batch["pobs"], k_e,
-                                   dropout_key=None)
-            sq = jnp.square(s.mean - batch["act"])
+            eng = actor_batch["engage"].reshape(-1).astype(jnp.float32)
+            s = self._sample_actor(ap, actor_batch["obs"],
+                                   actor_batch["pobs"], k_e, dropout_key=None)
+            sq = jnp.square(s.mean - actor_batch["act"])
             denom = self._denom(jnp.sum(eng) * sq.shape[1], guard=1.0)
             mse = jnp.sum(eng.reshape(-1, 1) * sq) / denom
             total_eng = jnp.sum(eng)
@@ -781,13 +816,23 @@ class SACAgent:
             return self.engage_weight * mse * has_engage
 
         extra = lambda ap: guidence_loss(ap) + engage_loss(ap)
+        if self.aug_actor:
+            actor_merged = merged
+        else:
+            # raw-frame view of the same merged rows (actions/rewards are
+            # identical; only the frames differ between the two views)
+            actor_merged = {
+                k: jnp.concatenate([actor_batch[k], actor_expert[k]], axis=0)
+                for k in ("obs", "pobs", "act", "rew", "next_obs",
+                          "next_pobs", "done")
+            }
         reuse_kw = {}
         if self.latent_reuse:
             reuse_kw = dict(critic_latent=jax.lax.stop_gradient(latent),
                             critic_heads_params=pre_critic)
         state, policy_loss, log_pi = self._actor_update(
-            state, alpha, merged, k_act, weights=weights, extra_loss_fn=extra,
-            noise_rows=merged_rows, **reuse_kw)
+            state, alpha, actor_merged, k_act, weights=weights,
+            extra_loss_fn=extra, noise_rows=merged_rows, **reuse_kw)
         state, alpha_loss = self._alpha_update(state, log_pi)
         state = self._polyak(state)
         metrics = {

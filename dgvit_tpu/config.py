@@ -164,10 +164,34 @@ class SACConfig:
     # regularizer for RL from pixels (Yarats et al. 2021; PAPERS.md ViT-RL
     # survey). 0 (default) = reference behavior: raw replayed frames.
     aug_shift: int = 0
+    # DrQ-collapse diagnosis knobs (round 5). Both shift=4 arms collapsed
+    # (drq_rand8, and drq_rand8_amin DESPITE the alpha floor holding —
+    # BENCH.md round 4), so the suspect moved from the entropy temperature
+    # to WHERE the shifted views enter the update:
+    #   aug_actor=False — shifted frames feed only the TD target and the
+    #     critic regression; the actor update (policy forward, its critic
+    #     Q evaluation, and the guided BC/engage losses) sees the raw
+    #     replayed frames. This is the actual DrQ-v2 formulation (Yarats
+    #     et al. 2021 route encoder gradients through the critic loss
+    #     only; with separate actor/critic trunks the equivalent is an
+    #     actor step on clean frames).
+    #   aug_warmup=N — the first N learn steps see raw frames even with
+    #     aug_shift set: augmented TD targets on an untrained critic are
+    #     pure target variance at the stage where alpha auto-tune is
+    #     calibrating.
+    # Defaults reproduce the round-4 semantics (actor augmented, no
+    # warmup); both are inert at aug_shift=0.
+    aug_actor: bool = True
+    aug_warmup: int = 0
 
     def validate(self):
         assert self.action_dim > 0 and self.pstate_dim > 0
         assert self.aug_shift >= 0
+        assert self.aug_warmup >= 0
+        if self.aug_warmup or not self.aug_actor:
+            assert self.aug_shift > 0, (
+                "aug_warmup/aug_actor only shape the DrQ shift augmentation;"
+                " they are silently inert without sac.aug_shift > 0")
         assert 0.0 < self.gamma <= 1.0
         assert 0.0 < self.tau <= 1.0
         # the clamp lives in the auto-tune update; with auto-tune off alpha

@@ -73,6 +73,20 @@ def main(argv=None):
                         "sampled obs/next_obs is re-cropped at a random "
                         "offset before the losses see it — the standard "
                         "pixel-RL regularizer; 0 = reference behavior")
+    p.add_argument("--aug-critic-only", action="store_true",
+                   help="route the shifted views through the TD target + "
+                        "critic regression only (sac.aug_actor=False — the "
+                        "actual DrQ-v2 formulation); the actor step sees "
+                        "raw frames. Round-5 diagnosis knob for the "
+                        "measured shift=4 collapses (BENCH.md round 4)")
+    p.add_argument("--aug-warmup", type=int, default=0,
+                   help="learn steps before the DrQ shift turns on "
+                        "(sac.aug_warmup): the critic calibrates on raw "
+                        "frames first")
+    p.add_argument("--seed", type=int, default=None,
+                   help="training seed override (cfg.train.seed) — the "
+                        "seed-replication protocol for the quality arms; "
+                        "default keeps the reference SEED 3407")
     p.add_argument("--world-assign", choices=("reset", "lane"),
                    default="reset",
                    help="ensemble lane assignment (fused path): 'reset' = "
@@ -112,6 +126,12 @@ def main(argv=None):
         cfg.sac.alpha_min = args.alpha_min
     if args.aug_shift:
         cfg.sac.aug_shift = args.aug_shift
+    if args.aug_critic_only:
+        cfg.sac.aug_actor = False
+    if args.aug_warmup:
+        cfg.sac.aug_warmup = args.aug_warmup
+    if args.seed is not None:
+        cfg.train.seed = args.seed
 
     fault_knobs = None
     if args.aug:
@@ -176,6 +196,9 @@ def main(argv=None):
         "alpha_max": args.alpha_max,
         "alpha_min": args.alpha_min,
         "aug_shift": args.aug_shift,
+        "aug_actor": not args.aug_critic_only,
+        "aug_warmup": args.aug_warmup,
+        "seed": args.seed if args.seed is not None else 3407,
         "aug": fault_knobs,
         "world_assign": args.world_assign,
         "aborted_dead": res.get("aborted_dead", False),

@@ -99,3 +99,97 @@ def test_guided_update_augments_expert_frames_too():
                                           jnp.int32(2))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite under guided aug"
+
+
+def _actor_leaves(state):
+    return [np.asarray(x) for x in
+            jax.tree_util.tree_leaves(state.actor_params)]
+
+
+def _max_diff(a, b):
+    return max(float(np.abs(x - y).max()) for x, y in zip(a, b))
+
+
+def test_aug_critic_only_differs_from_both_raw_and_full():
+    """sac.aug_actor=False (DrQ-v2 routing): the update differs from the
+    raw-frame one (the critic DID see shifted views) AND from the
+    fully-augmented one (the actor did NOT) — all three flavors at the
+    same seed/batch."""
+    from dgvit_tpu.agents import SACAgent
+
+    batch = make_batch(jax.random.PRNGKey(10))
+
+    def run(**kw):
+        agent = SACAgent(tiny_cfg(**kw))
+        st, m = agent.learn(agent.init_state(seed=0), dict(batch))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite ({kw})"
+        return _actor_leaves(st)
+
+    raw = run(aug_shift=0)
+    full = run(aug_shift=2)
+    critic_only = run(aug_shift=2, aug_actor=False)
+    assert _max_diff(critic_only, raw) > 0, \
+        "critic-only aug reproduced the raw update (shift never applied)"
+    assert _max_diff(critic_only, full) > 0, \
+        "critic-only aug reproduced the full-aug update (actor still saw " \
+        "shifted frames)"
+
+
+def test_aug_critic_only_guided_and_per_paths():
+    """The DrQ-v2 routing must hold on the guided and PER flavors too (the
+    arms train through guided/PER fused steps)."""
+    from dgvit_tpu.agents import SACAgent
+
+    batch = make_batch(jax.random.PRNGKey(11))
+    expert = make_batch(jax.random.PRNGKey(12))
+    expert.pop("engage")
+    for kw in (dict(aug_shift=2, aug_actor=False),):
+        agent = SACAgent(tiny_cfg(**kw))
+        st = agent.init_state(seed=2)
+        st, m = agent.learn_guidence(st, dict(batch), dict(expert),
+                                     jnp.int32(2))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"guided {k} not finite"
+        st, m, td = agent.learn_per(
+            st, {k: v for k, v in batch.items() if k != "engage"},
+            jnp.ones((batch["obs"].shape[0],)))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"per {k} not finite"
+        assert np.isfinite(np.asarray(td)).all()
+
+
+def test_aug_warmup_gates_the_shift_by_step():
+    """sac.aug_warmup=N: an update at itera < N is bit-identical to the
+    raw-frame update; once itera >= N it matches the no-warmup augmented
+    update (same key discipline — the gate is a where(), not a re-key)."""
+    from dgvit_tpu.agents import SACAgent
+
+    batch = make_batch(jax.random.PRNGKey(13))
+
+    raw_agent = SACAgent(tiny_cfg(aug_shift=0))
+    raw_st, _ = raw_agent.learn(raw_agent.init_state(seed=0), dict(batch))
+
+    warm = SACAgent(tiny_cfg(aug_shift=2, aug_warmup=5))
+    w_st, _ = warm.learn(warm.init_state(seed=0), dict(batch))  # itera=0 < 5
+    assert _max_diff(_actor_leaves(w_st), _actor_leaves(raw_st)) == 0, \
+        "warmup window must pass raw frames through"
+
+    # advance the counter past the window: the augmented branch engages and
+    # the update diverges from raw
+    st5 = warm.init_state(seed=0).replace(itera=jnp.int32(5))
+    w5_st, _ = warm.learn(st5, dict(batch))
+    raw5_st, _ = raw_agent.learn(
+        raw_agent.init_state(seed=0).replace(itera=jnp.int32(5)), dict(batch))
+    assert _max_diff(_actor_leaves(w5_st), _actor_leaves(raw5_st)) > 0, \
+        "past the warmup window the shift must apply"
+
+
+def test_latent_reuse_refuses_critic_only_aug():
+    from dgvit_tpu.agents import SACAgent
+    import pytest
+
+    cfg = tiny_cfg(aug_shift=2, aug_actor=False)
+    cfg.sac.critic_latent_reuse = True
+    with pytest.raises(ValueError, match="aug_actor"):
+        SACAgent(cfg)
