@@ -98,6 +98,11 @@ def main(argv=None):
                    help="force a jax backend (the axon sitecustomize locks "
                         "the tunneled TPU in; JAX_PLATFORMS alone is "
                         "ignored — BENCH.md pitfalls)")
+    p.add_argument("--seed", type=int, default=1,
+                   help="RL fine-tune seed (cfg.train.seed / host env "
+                        "seed) — the seed-replication protocol for the "
+                        "recipe arms; 1 = the historical default every "
+                        "round-3/4 arm used")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -125,6 +130,14 @@ def main(argv=None):
         return [np.clip(v / l_s - 1.0, -1, 1), np.clip(w / a_s, -1, 1)]
 
     demo_dir = Path(args.demos) if args.demos else out / "demos"
+
+    def demo_glob() -> str:
+        # historical layout: <demos>/RRC/jax/*.npz (scripted-pilot corpus);
+        # teacher corpora (tools/record_teacher_demos.py) land under
+        # <demos>/<world>/teacher/ — accept any two-level layout
+        sub = demo_dir / "RRC" / "jax"
+        return (str(sub / "*.npz") if sub.is_dir()
+                else str(demo_dir / "*" / "*" / "*.npz"))
     if args.bc_params:
         hist = None
         import shutil
@@ -140,7 +153,7 @@ def main(argv=None):
                                     action_to_env=lambda a: [(a[0] + 1) * l_s,
                                                              a[1] * a_s])
             print(f"recorded {len(paths)} demo episodes", flush=True)
-        obs, act, goal = load_bc_dataset(str(demo_dir / "RRC" / "jax" / "*.npz"))
+        obs, act, goal = load_bc_dataset(demo_glob())
         print(f"BC dataset: {obs.shape[0]} transitions", flush=True)
 
         policy = GoTPolicy(final_norm="rms", emb_dropout=0.0,
@@ -170,11 +183,11 @@ def main(argv=None):
         expert_glob = None
         if args.expert_buffer:
             cfg.train.pre_buffer = True
-            expert_glob = str(demo_dir / "RRC" / "jax" / "*.npz")
+            expert_glob = demo_glob()
         if args.fused:
             from dgvit_tpu.train.fused_train import train_fused
 
-            cfg.train.seed = 1
+            cfg.train.seed = args.seed
             res_f = train_fused(cfg, out_dir=str(out / "rl"),
                                 n_envs=args.n_envs, chunk=args.chunk,
                                 rounds=10 ** 6, rounds_per_dispatch=5,
@@ -188,7 +201,7 @@ def main(argv=None):
                   f"{res_f['episodes']} episodes / {res_f['updates']} "
                   f"updates", flush=True)
         else:
-            env_rl = KinematicNavEnv(seed=1, world=args.train_world)
+            env_rl = KinematicNavEnv(seed=args.seed, world=args.train_world)
             res = train(cfg, env_rl, out_dir=str(out / "rl"),
                         max_episodes=args.rl_episodes,
                         expert_glob=expert_glob)
@@ -224,6 +237,9 @@ def main(argv=None):
         print(f"[{world}] success rate: {r['success_rate'] * 100:.1f}% "
               f"({r['successes']}/{args.eval_episodes})", flush=True)
 
+    # exportable deployment artifact (testing.py workflow: the actor IS the
+    # deliverable) — held-out/robustness evals read <out>/final_actor.npz
+    ckpt.save_params_npz(str(out), "final", actor_params)
     print(json.dumps({"rrc": results["rrc"], "hospital": results["hospital"],
                       "bc_val_rmse": (float(min(hist["val"])) if hist else None),
                       "sac_goals": res["successes"], "recipe": hist_note}))
