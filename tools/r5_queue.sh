@@ -1,0 +1,178 @@
+#!/bin/bash
+# Round-5 chip queue — priority-ordered by the round-4 VERDICT list:
+#   A. finish the round-4 drain: dr_rand8b held-out evals (the queue died
+#      mid-stage here)
+#   B. drr_rand32b: retrain the 82%-RRC per-reset arm (checkpoints lost to
+#      the re-clone) -> held-out rows + the robustness sweep it owes
+#   C. drqc_rand8_amin: DrQ shift=4 routed CRITIC-ONLY (sac.aug_actor=False,
+#      the actual DrQ-v2 formulation) + alpha floor — the round's designed
+#      experiment on WHY both full-aug shift arms collapsed
+#   D/E. mixed-scale DR arms randm32 / randh32 (per-reset + floor): the
+#      round-4 conclusion was "only arena-scale diversity can buy
+#      cross-scale transfer" — these are the first policies trained on it
+#   F. teacher-student distillation: gw10 teacher records matched demos ON
+#      rand8 -> gw=10 guided fine-tune ON rand8 (the guided-on-rand8
+#      negative was guidance/world MISmatch; this is the matched version)
+#   G. seed replicates of the load-bearing single-seed deltas (gw10 recipe,
+#      dr_rand8) — 2 extra seeds each, evals per seed
+#   H. drq2_rand8_amin: shift=2 full-aug fallback diagnosis arm
+#   I. drqw_rand8_amin: shift=4 full-aug + 20k-step raw-frame warmup
+#
+# ADVICE.md r4 fixes baked in: all run_stage markers are dedicated .done
+# files (never real outputs), artifact copies only happen on stage success,
+# eval/sweep stages gate on the arm's summary.json (written only at
+# TRAINING completion — mid-run checkpoints alone never produce rows that
+# look chip-grade), and eval_stage forwards its extra args.
+#
+# Launch: nohup bash tools/r5_queue.sh >> results/r5_queue.log 2>&1 &
+#         echo $! > /tmp/r5_queue.pid
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+. "$(dirname "$0")/queue_lib.sh"
+
+mkdir -p results artifacts/r5
+
+eval_stage() {  # arm world extra-args...
+  local arm=$1 world=$2; shift 2
+  mkdir -p results/${arm}
+  run_stage results/${arm}/${world}_eval.done 3600 \
+    bash -c "set -o pipefail; python -u -m dgvit_tpu.train.evaluate \
+      --checkpoint results/${arm}/checkpoints --vec-eval \
+      --world ${world} --episodes 100 --out results/${arm}/${world}_eval $* \
+      | tee results/${arm}/${world}_eval.log" \
+    && cp -f results/${arm}/${world}_eval.log \
+         artifacts/r5/${arm}_${world}_eval.log
+}
+
+actor_eval_stage() {  # name npz world extra-args...
+  local name=$1 npz=$2 world=$3; shift 3
+  mkdir -p results/${name}
+  run_stage results/${name}/${world}_eval.done 3600 \
+    bash -c "set -o pipefail; python -u -m dgvit_tpu.train.evaluate \
+      --actor ${npz} --vec-eval --world ${world} --episodes 100 \
+      --out results/${name}/${world}_eval $* \
+      | tee results/${name}/${world}_eval.log" \
+    && cp -f results/${name}/${world}_eval.log \
+         artifacts/r5/${name}_${world}_eval.log
+}
+
+sweep_stage() {  # arm
+  local arm=$1
+  [ -f results/${arm}/summary.json ] || { echo "[r5] no summary for ${arm}, skip sweep"; return 0; }
+  run_stage results/robustness_${arm}/sweep.done 5400 \
+    python -u tools/robustness_sweep.py \
+      --checkpoint results/${arm}/checkpoints \
+      --export-actor artifacts/r5/${arm}_actor.npz \
+      --worlds rrc hospital --episodes 100 \
+      --out results/robustness_${arm} \
+    && cp -f results/robustness_${arm}/sweep.jsonl \
+         artifacts/r5/robustness_${arm}.jsonl \
+    && cp -f results/robustness_${arm}/sweep.md \
+         artifacts/r5/robustness_${arm}.md
+}
+
+arm_block() {  # arm train-args...
+  local arm=$1; shift
+  run_stage results/${arm}/train.done 10800 \
+    python -u examples/reference_scale_run.py \
+      --episodes 800 --fused --resume --eval-world hospital \
+      --alpha-max 2.0 --out results/${arm} "$@" \
+    && cp -f results/${arm}/summary.json artifacts/r5/${arm}_summary.json
+  # chip-grade evals only for a COMPLETED training run (ADVICE r4 #1)
+  [ -f results/${arm}/summary.json ] || { echo "[r5] ${arm} training incomplete, skip evals"; return 0; }
+  eval_stage ${arm} rrc
+  eval_stage ${arm} rand100
+  eval_stage ${arm} randm100
+  sweep_stage ${arm}
+}
+
+# ---- A. finish the round-4 drain: dr_rand8b held-out evals --------------
+for EW in rrc rand100 randm100; do
+  run_stage results/dr_rand8b/${EW}_eval.done 3600 \
+    bash -c "set -o pipefail; python -u -m dgvit_tpu.train.evaluate \
+      --checkpoint results/dr_rand8b/checkpoints --vec-eval \
+      --world ${EW} --episodes 100 --out results/dr_rand8b/${EW}_eval \
+      | tee results/dr_rand8b/${EW}_eval.log" \
+    && cp -f results/dr_rand8b/${EW}_eval.log \
+         artifacts/r4/dr_rand8b_${EW}_eval.log
+done
+
+# ---- B. drr_rand32b retrain + owed held-out rows + robustness sweep -----
+arm_block drr_rand32b --world rand32 --world-assign reset
+
+# ---- C. the DrQ-v2 critic-only diagnosis arm -----------------------------
+arm_block drqc_rand8_amin --world rand8 --world-assign lane \
+  --alpha-min 0.1 --aug-shift 4 --aug-critic-only
+
+# ---- D/E. mixed-scale DR arms --------------------------------------------
+arm_block dr_randm32 --world randm32 --world-assign reset --alpha-min 0.1
+arm_block dr_randh32 --world randh32 --world-assign reset --alpha-min 0.1
+
+# ---- F. teacher-student distillation (matched demos + DR worlds) ---------
+# teacher demo corpus: CPU-side, no tunnel needed (single-frame acting is
+# RTT-bound on the tunnel anyway) — 400 episodes over the rand8 members,
+# successes only
+run_stage results/distill/demos.done 5400 \
+  python -u tools/record_teacher_demos.py --platform cpu \
+    --actor artifacts/r3/gen_fused/gw10_winner_actor.npz \
+    --world rand8 --episodes 400 --max-steps 200 \
+    --out results/distill/demos
+if [ -f results/distill/demos.done ]; then
+  run_stage results/distill/train.done 10800 \
+    bash -c "set -o pipefail; python -u examples/generalization_eval.py \
+      --fused --vec-eval --expert-buffer \
+      --demos results/distill/demos \
+      --bc-params artifacts/r3/gen_fused/bc_warm \
+      --rl-episodes 300 --eval-episodes 100 \
+      --alpha-init 0.05 --guidence-weight 10 --train-world rand8 \
+      --out results/distill | tee results/distill/train.log" \
+    && cp -f results/distill/final_actor.npz artifacts/r5/distill_actor.npz \
+    && cp -f results/distill/train.log artifacts/r5/distill_train.log
+  if [ -f results/distill/final_actor.npz ]; then
+    actor_eval_stage distill results/distill/final_actor.npz rand100
+    actor_eval_stage distill results/distill/final_actor.npz randm100
+  fi
+fi
+
+# ---- G. seed replicates of the load-bearing deltas ------------------------
+# the scripted-pilot demo corpus the gw10 recipe trains on (results/ was
+# wiped; the recorder is deterministic, so this reproduces the round-3
+# corpus bit-for-bit — tools/record_gen_demos.py docstring)
+run_stage results/gen_base/demos.done 3600 \
+  python -u tools/record_gen_demos.py --out results/gen_base/demos
+# gw10 recipe (headline 78/48): 2 extra seeds at the round-3 protocol
+for S in 11 12; do
+  [ -f results/gen_base/demos.done ] || break
+  run_stage results/gw10_s${S}/train.done 10800 \
+    bash -c "set -o pipefail; python -u examples/generalization_eval.py \
+      --fused --vec-eval --expert-buffer \
+      --demos results/gen_base/demos \
+      --bc-params artifacts/r3/gen_fused/bc_warm \
+      --rl-episodes 300 --eval-episodes 100 \
+      --alpha-init 0.05 --guidence-weight 10 --seed ${S} \
+      --out results/gw10_s${S} | tee results/gw10_s${S}/train.log" \
+    && cp -f results/gw10_s${S}/train.log artifacts/r5/gw10_s${S}_train.log \
+    && cp -f results/gw10_s${S}/final_actor.npz artifacts/r5/gw10_s${S}_actor.npz
+done
+# dr_rand8 recipe (47/37): 2 extra seeds, rrc zero-shot eval per seed
+for S in 11 12; do
+  run_stage results/dr_rand8_s${S}/train.done 10800 \
+    python -u examples/reference_scale_run.py \
+      --episodes 800 --fused --resume --eval-world hospital \
+      --alpha-max 2.0 --seed ${S} --out results/dr_rand8_s${S} \
+      --world rand8 --world-assign lane \
+    && cp -f results/dr_rand8_s${S}/summary.json \
+         artifacts/r5/dr_rand8_s${S}_summary.json
+  if [ -f results/dr_rand8_s${S}/summary.json ]; then
+    eval_stage dr_rand8_s${S} rrc
+  fi
+done
+
+# ---- H/I. DrQ fallback diagnosis arms -------------------------------------
+arm_block drq2_rand8_amin --world rand8 --world-assign lane \
+  --alpha-min 0.1 --aug-shift 2
+arm_block drqw_rand8_amin --world rand8 --world-assign lane \
+  --alpha-min 0.1 --aug-shift 4 --aug-warmup 20000
+
+echo "[queue-r5] ALL DONE $(date -u +%H:%M:%S)"
