@@ -1,28 +1,25 @@
 #!/bin/bash
-# Round-5 chip queue — priority-ordered by the round-4 VERDICT list:
-#   A. finish the round-4 drain: dr_rand8b held-out evals (the queue died
-#      mid-stage here)
-#   B. drr_rand32b: retrain the 82%-RRC per-reset arm (checkpoints lost to
-#      the re-clone) -> held-out rows + the robustness sweep it owes
-#   C. drqc_rand8_amin: DrQ shift=4 routed CRITIC-ONLY (sac.aug_actor=False,
-#      the actual DrQ-v2 formulation) + alpha floor — the round's designed
-#      experiment on WHY both full-aug shift arms collapsed
-#   D/E. mixed-scale DR arms randm32 / randh32 (per-reset + floor): the
-#      round-4 conclusion was "only arena-scale diversity can buy
-#      cross-scale transfer" — these are the first policies trained on it
-#   F. teacher-student distillation: gw10 teacher records matched demos ON
-#      rand8 -> gw=10 guided fine-tune ON rand8 (the guided-on-rand8
-#      negative was guidance/world MISmatch; this is the matched version)
-#   G. seed replicates of the load-bearing single-seed deltas (gw10 recipe,
-#      dr_rand8) — 2 extra seeds each, evals per seed
-#   H. drq2_rand8_amin: shift=2 full-aug fallback diagnosis arm
-#   I. drqw_rand8_amin: shift=4 full-aug + 20k-step raw-frame warmup
+# Round-5 chip queue — priority-ordered by the round-4 VERDICT list. The
+# round-4 queue (tools/r4o_queue.sh) was found STILL ALIVE at round-5 start,
+# mid-way through its own stages 6-7 (dr_randm32 / dr_randh32 / drr_rand32b
+# = VERDICT items 1-2), so this queue:
+#   0. runs its CPU-side demo stages immediately (no chip needed),
+#   1. then WAITS for the r4o pid to exit before touching the chip,
+#   2. then runs the round-5 arms:
+#      C. drqc_rand8_amin — DrQ shift=4 routed CRITIC-ONLY
+#         (sac.aug_actor=False, the actual DrQ-v2 formulation) + floor:
+#         the designed experiment on WHY both full-aug shift arms collapsed
+#      F. teacher-student distillation: gw10 teacher demos ON rand8 ->
+#         gw=10 guided fine-tune ON rand8 (matched demos; the round-4
+#         guided-on-rand8 negative was guidance/world MISmatch)
+#      G. seed replicates of the load-bearing single-seed deltas
+#         (gw10 recipe x2 seeds, dr_rand8 recipe x2 seeds)
+#      H/I. DrQ fallback diagnosis arms (shift=2; shift=4 + 20k warmup)
 #
-# ADVICE.md r4 fixes baked in: all run_stage markers are dedicated .done
-# files (never real outputs), artifact copies only happen on stage success,
-# eval/sweep stages gate on the arm's summary.json (written only at
-# TRAINING completion — mid-run checkpoints alone never produce rows that
-# look chip-grade), and eval_stage forwards its extra args.
+# ADVICE.md r4 fixes baked in: dedicated .done markers (never real output
+# files), artifact copies only on stage success, eval/sweep stages gated on
+# the arm's summary.json (training COMPLETION, not mid-run checkpoints),
+# eval_stage forwards extra args.
 #
 # Launch: nohup bash tools/r5_queue.sh >> results/r5_queue.log 2>&1 &
 #         echo $! > /tmp/r5_queue.pid
@@ -32,6 +29,15 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 . "$(dirname "$0")/queue_lib.sh"
 
 mkdir -p results artifacts/r5
+
+cpu_stage() {  # marker timeout cmd...  (no tunnel probe — CPU-only work)
+  local marker=$1 tmo=$2; shift 2
+  [ -f "$marker" ] && { echo "[r5] $marker exists, skip"; return 0; }
+  echo "[r5] ==== (cpu) $* $(date -u +%H:%M:%S) ===="
+  timeout "$tmo" "$@" && touch "$marker" && return 0
+  echo "[r5] cpu stage rc=$? $(date -u +%H:%M:%S)"
+  return 1
+}
 
 eval_stage() {  # arm world extra-args...
   local arm=$1 world=$2; shift 2
@@ -87,37 +93,32 @@ arm_block() {  # arm train-args...
   sweep_stage ${arm}
 }
 
-# ---- A. finish the round-4 drain: dr_rand8b held-out evals --------------
-for EW in rrc rand100 randm100; do
-  run_stage results/dr_rand8b/${EW}_eval.done 3600 \
-    bash -c "set -o pipefail; python -u -m dgvit_tpu.train.evaluate \
-      --checkpoint results/dr_rand8b/checkpoints --vec-eval \
-      --world ${EW} --episodes 100 --out results/dr_rand8b/${EW}_eval \
-      | tee results/dr_rand8b/${EW}_eval.log" \
-    && cp -f results/dr_rand8b/${EW}_eval.log \
-         artifacts/r4/dr_rand8b_${EW}_eval.log
-done
-
-# ---- B. drr_rand32b retrain + owed held-out rows + robustness sweep -----
-arm_block drr_rand32b --world rand32 --world-assign reset
-
-# ---- C. the DrQ-v2 critic-only diagnosis arm -----------------------------
-arm_block drqc_rand8_amin --world rand8 --world-assign lane \
-  --alpha-min 0.1 --aug-shift 4 --aug-critic-only
-
-# ---- D/E. mixed-scale DR arms --------------------------------------------
-arm_block dr_randm32 --world randm32 --world-assign reset --alpha-min 0.1
-arm_block dr_randh32 --world randh32 --world-assign reset --alpha-min 0.1
-
-# ---- F. teacher-student distillation (matched demos + DR worlds) ---------
-# teacher demo corpus: CPU-side, no tunnel needed (single-frame acting is
-# RTT-bound on the tunnel anyway) — 400 episodes over the rand8 members,
-# successes only
-run_stage results/distill/demos.done 5400 \
+# ---- 0. CPU-side demo corpora (run while r4o still owns the chip) --------
+# teacher demo corpus: 400 episodes over the rand8 members, successes only
+cpu_stage results/distill/demos.done 5400 \
   python -u tools/record_teacher_demos.py --platform cpu \
     --actor artifacts/r3/gen_fused/gw10_winner_actor.npz \
     --world rand8 --episodes 400 --max-steps 200 \
     --out results/distill/demos
+# the scripted-pilot corpus the gw10 recipe trains on (results/ was wiped;
+# the recorder is deterministic — reproduces the round-3 corpus exactly)
+cpu_stage results/gen_base/demos.done 3600 \
+  python -u tools/record_gen_demos.py --out results/gen_base/demos
+
+# ---- 1. wait for the round-4 queue to release the chip -------------------
+if [ -f /tmp/r4o_queue.pid ]; then
+  while kill -0 "$(cat /tmp/r4o_queue.pid)" 2>/dev/null; do
+    echo "[r5] r4o queue (pid $(cat /tmp/r4o_queue.pid)) still owns the chip; sleeping 300s $(date -u +%H:%M:%S)"
+    sleep 300
+  done
+fi
+echo "[r5] chip is free $(date -u +%H:%M:%S)"
+
+# ---- C. the DrQ-v2 critic-only diagnosis arm ------------------------------
+arm_block drqc_rand8_amin --world rand8 --world-assign lane \
+  --alpha-min 0.1 --aug-shift 4 --aug-critic-only
+
+# ---- F. teacher-student distillation (matched demos + DR worlds) ----------
 if [ -f results/distill/demos.done ]; then
   run_stage results/distill/train.done 10800 \
     bash -c "set -o pipefail; python -u examples/generalization_eval.py \
@@ -136,11 +137,6 @@ if [ -f results/distill/demos.done ]; then
 fi
 
 # ---- G. seed replicates of the load-bearing deltas ------------------------
-# the scripted-pilot demo corpus the gw10 recipe trains on (results/ was
-# wiped; the recorder is deterministic, so this reproduces the round-3
-# corpus bit-for-bit — tools/record_gen_demos.py docstring)
-run_stage results/gen_base/demos.done 3600 \
-  python -u tools/record_gen_demos.py --out results/gen_base/demos
 # gw10 recipe (headline 78/48): 2 extra seeds at the round-3 protocol
 for S in 11 12; do
   [ -f results/gen_base/demos.done ] || break
@@ -169,7 +165,7 @@ for S in 11 12; do
   fi
 done
 
-# ---- H/I. DrQ fallback diagnosis arms -------------------------------------
+# ---- H/I. DrQ fallback diagnosis arms --------------------------------------
 arm_block drq2_rand8_amin --world rand8 --world-assign lane \
   --alpha-min 0.1 --aug-shift 2
 arm_block drqw_rand8_amin --world rand8 --world-assign lane \
