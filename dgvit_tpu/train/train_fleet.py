@@ -174,17 +174,30 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
     # otherwise issue device_put/execute concurrently, and remote-attached
     # PJRT backends are not reliably thread-safe under that (observed:
     # INVALID_ARGUMENT from batched_device_put mid-campaign on the tunneled
-    # TPU). The lock serializes HOST-side dispatch only — device-side the
-    # two streams queue behind each other on one chip anyway, so the
-    # overlap this trainer exploits (host env stepping + frame ingest vs
-    # device compute) is untouched.
+    # TPU). The lock serializes HOST-side dispatch ENQUEUE only — JAX
+    # dispatch is async, so neither thread may hold it across a
+    # device->host materialization (np.asarray of an in-flight result):
+    # round-4 held it across the whole update INCLUDING the PER TD-error
+    # readback and the server's action readback, which serialized the two
+    # threads end-to-end and inverted fleet scaling at 8 robots
+    # (bench_train_fleet2: 4 robots 3.53 steps/s -> 8 robots 3.36).
+    # Device-side the two streams queue behind each other on one chip
+    # anyway; what the narrow scope buys is that the learner can ENQUEUE
+    # the next update while the server blocks on its action transfer and
+    # vice versa.
     dev_lock = threading.Lock()
 
     def serve_act(obs, goal):  # server worker thread, batched
-        # stochastic actions: this is training collection, not eval
+        # stochastic actions: this is training collection, not eval.
+        # Enqueue under the lock; BLOCK on the transfer outside it. The
+        # donated-params race stays fixed: the learner swaps params_box
+        # inside the same lock BEFORE its donating update can invalidate
+        # the tree a later dispatch would read, and an Execute enqueued
+        # here holds a usage reference that sequences any subsequent
+        # donation after it.
         with dev_lock:
-            return np.asarray(act_agent.act_batch(params_box[0], obs, goal,
-                                                  rng.next()))
+            a = act_agent.act_batch(params_box[0], obs, goal, rng.next())
+        return np.asarray(a)
 
     def to_batch(d):
         return {k: jnp.asarray(v) for k, v in d.items()}
@@ -205,8 +218,12 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
     def one_update(state):
         """One SAC update — the exact plain/PER/guided dispatch of the host
         loop (train_rl.py), minus the intervention-only branch. Buffer
-        sampling is host-side C++ (its own lock); everything that touches
-        the device rides dev_lock (see above)."""
+        sampling is host-side C++ (its own lock). dev_lock covers only the
+        device_put + update ENQUEUE + params_box swap; the PER TD-error
+        materialization (a device->host block) happens after release so
+        the server can dispatch actions while the chip finishes the
+        update."""
+        td = idx = None
         if expert_buf is not None:
             ab = buf.sample(s.batch_size)
             w = ab.pop("weights", None)
@@ -216,26 +233,34 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
             eb = expert_buf.sample(s.batch_size)
             eb["act"] = eb.pop("act_exp")
             eb.pop("engage", None)
-            if s.prioritized_replay and w is not None:
-                state, metrics, td = learn_guided_per(
-                    state, to_batch(ab), to_batch(eb), k, w)
-                buf.update_priorities(idx, np.abs(np.asarray(td)) + 1e-6)
-            else:
-                state, metrics = learn_guided(
-                    state, to_batch(ab), to_batch(eb), k)
+            with dev_lock:
+                if s.prioritized_replay and w is not None:
+                    state, metrics, td = learn_guided_per(
+                        state, to_batch(ab), to_batch(eb), k, w)
+                else:
+                    idx = None
+                    state, metrics = learn_guided(
+                        state, to_batch(ab), to_batch(eb), k)
+                params_box[0] = state.actor_params
         elif s.prioritized_replay:
             d = buf.sample(s.batch_size)
             w = d.pop("weights")
             idx = d.pop("indexes")
             d.pop("engage", None)
-            state, metrics, td = learn_per(state, to_batch(d), w)
-            buf.update_priorities(idx, np.abs(np.asarray(td)) + 1e-6)
+            with dev_lock:
+                state, metrics, td = learn_per(state, to_batch(d), w)
+                params_box[0] = state.actor_params
         else:
             d = buf.sample(s.batch_size)
             d.pop("engage", None)
             d.pop("weights", None)
             d.pop("indexes", None)
-            state, metrics = learn_plain(state, to_batch(d))
+            with dev_lock:
+                state, metrics = learn_plain(state, to_batch(d))
+                params_box[0] = state.actor_params
+        if td is not None and idx is not None:
+            # blocks until the update lands — outside dev_lock by design
+            buf.update_priorities(idx, np.abs(np.asarray(td)) + 1e-6)
         return state, metrics
 
     fleet_out: dict = {}
@@ -271,13 +296,12 @@ def train_fleet(cfg: Config, envs: Sequence, out_dir: str = "results",
             behind = (buf.get_stored_size() >= s.batch_size
                       and updates < collector.steps * updates_per_step)
             if behind:
-                with dev_lock:
-                    state, metrics = one_update(state)
-                    # publish BEFORE releasing the lock: the update donated
-                    # the old state tree, so a server dispatch that won the
-                    # lock while the box still held the old actor_params
-                    # would Execute() on a deleted/donated buffer
-                    params_box[0] = state.actor_params
+                # one_update publishes the fresh actor_params to params_box
+                # INSIDE its dev_lock hold, immediately after the donating
+                # update is enqueued — a server dispatch can therefore never
+                # read a donated/deleted tree (the round-4 race), and the
+                # lock is released before any device->host block
+                state, metrics = one_update(state)
                 updates += 1
                 if log_every_updates and updates % log_every_updates == 0:
                     logger.log(updates, steps=collector.steps,
