@@ -114,6 +114,16 @@ if [ -f /tmp/r4o_queue.pid ]; then
 fi
 echo "[r5] chip is free $(date -u +%H:%M:%S)"
 
+# ---- B. fleet-trainer bench on the QUIET chip (VERDICT r4 #5 Done
+#         criterion: 8-robot arm >= 4-robot arm steps/s after the lock-scope
+#         fix; the mid-campaign attempt contended with r4o training and was
+#         discarded) ----
+run_stage results/bench_train_fleet_r5.done 2400 \
+  bash -c "set -o pipefail; python -u tools/bench_train_fleet.py \
+    | tee results/bench_train_fleet_r5.jsonl" \
+  && cp -f results/bench_train_fleet_r5.jsonl \
+       artifacts/r5/bench_train_fleet_r5.jsonl
+
 # ---- C. the DrQ-v2 critic-only diagnosis arm ------------------------------
 arm_block drqc_rand8_amin --world rand8 --world-assign lane \
   --alpha-min 0.1 --aug-shift 4 --aug-critic-only
