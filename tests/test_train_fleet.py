@@ -87,6 +87,21 @@ def test_fleet_per_variant(tmp_path):
     assert out["updates"] > 0 and out["errors"] == {}
 
 
+def test_fleet_dispatch_donation_interleave_stress(tmp_path):
+    """Round-5 lock-scope regression (dev_lock covers ENQUEUE + publish
+    only): 8 robots with zero coalescing wait and an update-heavy cadence
+    maximize server-dispatch / donating-update interleave. A publication
+    ordering bug resurfaces here as PJRT 'deleted/donated buffer' errors —
+    robots report them through out['errors'] — or as a learner crash. PER
+    exercises the outside-the-lock TD readback path specifically."""
+    cfg = fleet_cfg(prioritized_replay=True)
+    out = train_fleet(cfg, _envs(8), out_dir=str(tmp_path), max_episodes=8,
+                      updates_per_step=2.0, max_wait_ms=0.0)
+    assert out["errors"] == {}
+    assert out["updates"] > 0
+    assert int(out["state"].itera) == out["updates"]
+
+
 def test_fleet_guided_variant(tmp_path):
     """PRE_BUFFER: expert demos feed learn_guidence alongside the fleet
     stream (main.py:223-268 + DRL.py guided update)."""
