@@ -108,6 +108,13 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache AFTER any backend override — the cache dir is
+    # segregated per platform tag (utils/compcache.py: tunnel AOT entries
+    # SIGILL CPU processes). Repeat sweep arms (gw grid, seed replicates)
+    # reuse the fused-program compile instead of paying it per arm.
+    from dgvit_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache(
+        platform_tag="cpu" if args.platform == "cpu" else "axon")
 
     out = Path(args.out or tempfile.mkdtemp(prefix="gen_eval_"))
     print(f"workdir: {out}", flush=True)
