@@ -34,8 +34,8 @@ RECIPES = {
     "drqc_rand8_amin": ("DrQ shift=4 CRITIC-ONLY (aug_actor=F) + floor", R5),
     "drq2_rand8_amin": ("DrQ shift=2 full-aug + floor", R5),
     "drqw_rand8_amin": ("DrQ shift=4 full-aug + 20k warmup + floor", R5),
-    "dr_randm32": ("randm32: 16 RRC- + 16 hospital-scale, per-reset + floor", R5),
-    "dr_randh32": ("randh32: 32 hospital-scale arenas, per-reset + floor", R5),
+    "dr_randm32": ("randm32: 16 RRC- + 16 hospital-scale, per-reset, no floor", R5),
+    "dr_randh32": ("randh32: 32 hospital-scale arenas, per-reset, no floor", R5),
     "dr_rand8_s11": ("dr_rand8 recipe, seed 11", R5),
     "dr_rand8_s12": ("dr_rand8 recipe, seed 12", R5),
 }
@@ -50,8 +50,14 @@ GEN_ARMS = {
 
 
 def read_summary(d: Path, arm: str):
-    p = d / f"{arm}_summary.json"
-    return json.loads(p.read_text()) if p.exists() else None
+    # the preferred dir first, then the other round's artifact dir (the
+    # r4o queue copies its stages into artifacts/r4 even when they land
+    # during round 5)
+    for dd in (d, R4 if d == R5 else R5):
+        p = dd / f"{arm}_summary.json"
+        if p.exists():
+            return json.loads(p.read_text())
+    return None
 
 
 def read_eval_log(arm: str, world: str):
