@@ -12,6 +12,8 @@
 #      F. teacher-student distillation: gw10 teacher demos ON rand8 ->
 #         gw=10 guided fine-tune ON rand8 (matched demos; the round-4
 #         guided-on-rand8 negative was guidance/world MISmatch)
+#      C2. dr_randm32_s11 — seed replicate of the round-5 champion
+#      F2. distill_m32 — teacher demos x mixed-scale DR (the two winners)
 #      G. seed replicates of the load-bearing single-seed deltas
 #         (gw10 recipe x2 seeds, dr_rand8 recipe x2 seeds)
 #      H/I. DrQ fallback diagnosis arms (shift=2; shift=4 + 20k warmup)
@@ -104,6 +106,14 @@ cpu_stage results/distill/demos.done 5400 \
 # the recorder is deterministic — reproduces the round-3 corpus exactly)
 cpu_stage results/gen_base/demos.done 3600 \
   python -u tools/record_gen_demos.py --out results/gen_base/demos
+# teacher demos on the MIXED-SCALE ensemble (for distill_m32 — composing
+# the round's two winning recipes: gw10 guidance x randm32 DR; dr_randm32
+# landed 37% rand100 / 29% randm100, the new held-out champion)
+cpu_stage results/distill_m32/demos.done 5400 \
+  python -u tools/record_teacher_demos.py --platform cpu \
+    --actor artifacts/r3/gen_fused/gw10_winner_actor.npz \
+    --world randm32 --episodes 400 --max-steps 400 \
+    --out results/distill_m32/demos
 
 # ---- 1. wait for the round-4 queue to release the chip -------------------
 if [ -f /tmp/r4o_queue.pid ]; then
@@ -128,6 +138,11 @@ run_stage results/bench_train_fleet_r5.done 2400 \
 arm_block drqc_rand8_amin --world rand8 --world-assign lane \
   --alpha-min 0.1 --aug-shift 4 --aug-critic-only
 
+# ---- C2. seed replicate of the round-5 champion ---------------------------
+# dr_randm32 (37% rand100 / 29% randm100 / hospital>=RRC) is an n=1 claim;
+# a second seed ranks above the DrQ fallback arms (VERDICT r4 weak #5).
+arm_block dr_randm32_s11 --world randm32 --seed 11
+
 # ---- F. teacher-student distillation (matched demos + DR worlds) ----------
 if [ -f results/distill/demos.done ]; then
   run_stage results/distill/train.done 10800 \
@@ -143,6 +158,28 @@ if [ -f results/distill/demos.done ]; then
   if [ -f results/distill/final_actor.npz ]; then
     actor_eval_stage distill results/distill/final_actor.npz rand100
     actor_eval_stage distill results/distill/final_actor.npz randm100
+  fi
+fi
+
+# ---- F2. distill_m32: compose the two winning recipes ---------------------
+# gw10-teacher demos recorded ON randm32 members + guided fine-tune ON the
+# randm32 ensemble — guidance robustness (gw10: flat fault curves) x
+# mixed-scale DR (dr_randm32: held-out champion). Same gen protocol as F.
+if [ -f results/distill_m32/demos.done ]; then
+  run_stage results/distill_m32/train.done 10800 \
+    bash -c "set -o pipefail; python -u examples/generalization_eval.py \
+      --fused --vec-eval --expert-buffer \
+      --demos results/distill_m32/demos \
+      --bc-params artifacts/r3/gen_fused/bc_warm \
+      --rl-episodes 300 --eval-episodes 100 \
+      --alpha-init 0.05 --guidence-weight 10 --train-world randm32 \
+      --out results/distill_m32 | tee results/distill_m32/train.log" \
+    && cp -f results/distill_m32/final_actor.npz \
+         artifacts/r5/distill_m32_actor.npz \
+    && cp -f results/distill_m32/train.log artifacts/r5/distill_m32_train.log
+  if [ -f results/distill_m32/final_actor.npz ]; then
+    actor_eval_stage distill_m32 results/distill_m32/final_actor.npz rand100
+    actor_eval_stage distill_m32 results/distill_m32/final_actor.npz randm100
   fi
 fi
 

@@ -35,6 +35,7 @@ RECIPES = {
     "drq2_rand8_amin": ("DrQ shift=2 full-aug + floor", R5),
     "drqw_rand8_amin": ("DrQ shift=4 full-aug + 20k warmup + floor", R5),
     "dr_randm32": ("randm32: 16 RRC- + 16 hospital-scale, per-reset, no floor", R5),
+    "dr_randm32_s11": ("dr_randm32 recipe, seed 11", R5),
     "dr_randh32": ("randh32: 32 hospital-scale arenas, per-reset, no floor", R5),
     "dr_rand8_s11": ("dr_rand8 recipe, seed 11", R5),
     "dr_rand8_s12": ("dr_rand8 recipe, seed 12", R5),
@@ -44,6 +45,7 @@ RECIPES = {
 # line is {"rrc": ..., "hospital": ..., "sac_goals": ..., "recipe": ...}
 GEN_ARMS = {
     "distill": ("gw10-teacher demos ON rand8 -> gw=10 guided on rand8", R5),
+    "distill_m32": ("gw10-teacher demos x randm32 DR (gw=10 guided)", R5),
     "gw10_s11": ("gw10 recipe, seed 11", R5),
     "gw10_s12": ("gw10 recipe, seed 12", R5),
 }
