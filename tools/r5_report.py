@@ -31,6 +31,7 @@ RECIPES = {
     "drq_rand8_amin": ("DrQ shift=4 full-aug + floor", R4),
     # round-5 arms
     "drr_rand32b": ("rand32, per-reset (retrain of the 82% arm)", R5),
+    "drr_rand32c": ("rand32, per-reset (3rd retrain; held-out rows + sweep)", R5),
     "drqc_rand8_amin": ("DrQ shift=4 CRITIC-ONLY (aug_actor=F) + floor", R5),
     "drq2_rand8_amin": ("DrQ shift=2 full-aug + floor", R5),
     "drqw_rand8_amin": ("DrQ shift=4 full-aug + 20k warmup + floor", R5),
