@@ -96,25 +96,25 @@ arm_block drqc_rand8_amin --world rand8 --world-assign lane \
 #         (VERDICT #4: every quality arm is n=1 seed)
 arm_block dr_randm32_s11 --world randm32 --seed 11
 
+# ---- J. fleet-trainer bench (VERDICT #5 Done criterion) — moved UP after
+#         the drqc win landed (the DrQ fallback arms moved to the tail):
+#         the cpu corpus queue is done, so the single host core is quiet
+while [ ! -f results/r5cpu.alldone ] && \
+      kill -0 "$(cat /tmp/r5cpu_queue.pid 2>/dev/null)" 2>/dev/null; do
+  echo "[r5chip] waiting for cpu queue before fleet bench $(date -u +%H:%M:%S)"
+  sleep 120
+done
+run_stage results/bench_train_fleet_r5.done 2400 \
+  bash -c "set -o pipefail; python -u tools/bench_train_fleet.py \
+    | tee results/bench_train_fleet_r5.jsonl" \
+  && cp -f results/bench_train_fleet_r5.jsonl \
+       artifacts/r5/bench_train_fleet_r5.jsonl
+
 # ---- C. drr_rand32c: third deterministic retrain of the 82% RRC arm to
 #         complete its OWED held-out rows + fault grid (VERDICT #6; the
 #         checkpoints died with a re-clone twice — this time the sweep
 #         exports the actor npz into tracked artifacts/)
 arm_block drr_rand32c --world rand32
-
-# ---- D. dr_rand8 recipe seed replicates (VERDICT #4) ----------------------
-for S in 11 12; do
-  run_stage results/dr_rand8_s${S}/train.done 10800 \
-    python -u examples/reference_scale_run.py \
-      --episodes 800 --fused --resume --eval-world hospital \
-      --alpha-max 2.0 --seed ${S} --out results/dr_rand8_s${S} \
-      --world rand8 --world-assign lane \
-    && cp -f results/dr_rand8_s${S}/summary.json \
-         artifacts/r5/dr_rand8_s${S}_summary.json
-  if [ -f results/dr_rand8_s${S}/summary.json ]; then
-    eval_stage dr_rand8_s${S} rrc
-  fi
-done
 
 # ---- E. teacher-student distillation, matched demos on rand8 (VERDICT #7) -
 if wait_corpus results/distill/demos.done; then
@@ -153,6 +153,20 @@ if wait_corpus results/distill_m32/demos.done; then
   fi
 fi
 
+# ---- D. dr_rand8 recipe seed replicates (VERDICT #4) ----------------------
+for S in 11 12; do
+  run_stage results/dr_rand8_s${S}/train.done 10800 \
+    python -u examples/reference_scale_run.py \
+      --episodes 800 --fused --resume --eval-world hospital \
+      --alpha-max 2.0 --seed ${S} --out results/dr_rand8_s${S} \
+      --world rand8 --world-assign lane \
+    && cp -f results/dr_rand8_s${S}/summary.json \
+         artifacts/r5/dr_rand8_s${S}_summary.json
+  if [ -f results/dr_rand8_s${S}/summary.json ]; then
+    eval_stage dr_rand8_s${S} rrc
+  fi
+done
+
 # ---- G. gw10 recipe seed replicates (VERDICT #4; headline 78/48) ----------
 if wait_corpus results/gen_base/demos.done; then
   for S in 11 12; do
@@ -170,26 +184,6 @@ if wait_corpus results/gen_base/demos.done; then
   done
 fi
 
-# ---- H/I. DrQ fallback diagnosis arms -------------------------------------
-arm_block drq2_rand8_amin --world rand8 --world-assign lane \
-  --alpha-min 0.1 --aug-shift 2
-arm_block drqw_rand8_amin --world rand8 --world-assign lane \
-  --alpha-min 0.1 --aug-shift 4 --aug-warmup 20000
-
-# ---- J. fleet-trainer bench (VERDICT #5 Done criterion) — needs a quiet
-#         HOST (single core) as well as a quiet chip, so it waits for the
-#         cpu queue to finish its recorders
-while [ ! -f results/r5cpu.alldone ] && \
-      kill -0 "$(cat /tmp/r5cpu_queue.pid 2>/dev/null)" 2>/dev/null; do
-  echo "[r5chip] waiting for cpu queue before fleet bench $(date -u +%H:%M:%S)"
-  sleep 120
-done
-run_stage results/bench_train_fleet_r5.done 2400 \
-  bash -c "set -o pipefail; python -u tools/bench_train_fleet.py \
-    | tee results/bench_train_fleet_r5.jsonl" \
-  && cp -f results/bench_train_fleet_r5.jsonl \
-       artifacts/r5/bench_train_fleet_r5.jsonl
-
 # ---- K. hosp2400 alpha_max seed replicate (was tools/r5b_queue.sh) --------
 run_stage results/hosp2400_amax_s11/train.done 14400 \
   python -u examples/reference_scale_run.py \
@@ -197,5 +191,14 @@ run_stage results/hosp2400_amax_s11/train.done 14400 \
     --seed 11 --out results/hosp2400_amax_s11 \
   && cp -f results/hosp2400_amax_s11/summary.json \
        artifacts/r5/hosp2400_amax_s11_summary.json
+
+# ---- H/I. DrQ fallback diagnosis arms — moved to the TAIL: drqc answered
+#         the design question (critic-only routing is the fix); these now
+#         only add mechanism detail (does full-aug die at shift=2 / with a
+#         20k raw-frame warmup?)
+arm_block drq2_rand8_amin --world rand8 --world-assign lane \
+  --alpha-min 0.1 --aug-shift 2
+arm_block drqw_rand8_amin --world rand8 --world-assign lane \
+  --alpha-min 0.1 --aug-shift 4 --aug-warmup 20000
 
 echo "[queue-r5chip] ALL DONE $(date -u +%H:%M:%S)"
