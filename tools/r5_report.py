@@ -37,6 +37,7 @@ RECIPES = {
     "drqw_rand8_amin": ("DrQ shift=4 full-aug + 20k warmup + floor", R5),
     "dr_randm32": ("randm32: 16 RRC- + 16 hospital-scale, per-reset, no floor", R5),
     "dr_randm32_s11": ("dr_randm32 recipe, seed 11", R5),
+    "dr_randm32_s11_amin": ("dr_randm32 recipe, seed 11 + alpha_min=0.1", R5),
     "dr_randh32": ("randh32: 32 hospital-scale arenas, per-reset, no floor", R5),
     "dr_rand8_s11": ("dr_rand8 recipe, seed 11", R5),
     "dr_rand8_s12": ("dr_rand8 recipe, seed 12", R5),

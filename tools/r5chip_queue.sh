@@ -110,6 +110,16 @@ run_stage results/bench_train_fleet_r5.done 2400 \
   && cp -f results/bench_train_fleet_r5.jsonl \
        artifacts/r5/bench_train_fleet_r5.jsonl
 
+# ---- B2. dr_randm32_s11_amin: the floor-rescue A/B on the seed that DIED.
+#         Seed 11 of the champion recipe aborted_dead at 243 eps (alpha
+#         bottomed 0.023, critic went inf/nan) where seed 3407 bottomed at
+#         0.059 and survived — per-reset DR without the floor is
+#         seed-fragile. Identical run + alpha_min=0.1 tests whether the
+#         floor makes the champion recipe RELIABLE (it cured the rand8
+#         per-reset collapse; drq proved it is not sufficient under
+#         full-aug — this is the un-augmented case it was built for).
+arm_block dr_randm32_s11_amin --world randm32 --seed 11 --alpha-min 0.1
+
 # ---- C. drr_rand32c: third deterministic retrain of the 82% RRC arm to
 #         complete its OWED held-out rows + fault grid (VERDICT #6; the
 #         checkpoints died with a re-clone twice — this time the sweep
