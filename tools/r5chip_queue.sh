@@ -94,7 +94,21 @@ arm_block drqc_rand8_amin --world rand8 --world-assign lane \
 
 # ---- B. dr_randm32_s11: seed replicate of the round-5 held-out champion
 #         (VERDICT #4: every quality arm is n=1 seed)
-arm_block dr_randm32_s11 --world randm32 --seed 11
+#         NOTE: sweep deferred to the tail — the arm aborted_dead at 243
+#         eps but its nan_guard-frozen actor evals as a REAL mid-training
+#         policy (RRC 100/100, rand100 25%, randm100 17%); with the
+#         session clock short, its fault grid ranks below the live arms.
+run_stage results/dr_randm32_s11/train.done 10800 \
+  python -u examples/reference_scale_run.py \
+    --episodes 800 --fused --resume --eval-world hospital \
+    --alpha-max 2.0 --out results/dr_randm32_s11 --world randm32 --seed 11 \
+  && cp -f results/dr_randm32_s11/summary.json \
+       artifacts/r5/dr_randm32_s11_summary.json
+if [ -f results/dr_randm32_s11/summary.json ]; then
+  eval_stage dr_randm32_s11 rrc
+  eval_stage dr_randm32_s11 rand100
+  eval_stage dr_randm32_s11 randm100
+fi
 
 # ---- J. fleet-trainer bench (VERDICT #5 Done criterion) — moved UP after
 #         the drqc win landed (the DrQ fallback arms moved to the tail):
@@ -210,5 +224,8 @@ arm_block drq2_rand8_amin --world rand8 --world-assign lane \
   --alpha-min 0.1 --aug-shift 2
 arm_block drqw_rand8_amin --world rand8 --world-assign lane \
   --alpha-min 0.1 --aug-shift 4 --aug-warmup 20000
+
+# deferred: fault grid of the s11 salvage actor (see stage B note)
+sweep_stage dr_randm32_s11
 
 echo "[queue-r5chip] ALL DONE $(date -u +%H:%M:%S)"
